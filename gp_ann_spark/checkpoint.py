@@ -1,0 +1,86 @@
+"""Superstep checkpointing with per-partition lineage + metrics, resumable.
+
+north_rule: iterative graph algorithms must be "resumable from checkpoint
+with per-partition lineage + metrics". Each superstep of an iterative
+algorithm writes its state DataFrame as Parquet under
+``<dir>/<name>/superstep=<t>/`` plus a ``meta.json`` recording row count,
+per-partition row counts (the lineage of which partition produced what), and
+algorithm metrics (delta, changed-count, ...). ``latest()`` finds the last
+*complete* superstep (meta written after data), so a killed run resumes
+exactly where it stopped.
+
+Checkpointing also truncates Spark lineage — without it, iterative
+DataFrame loops accumulate a plan per superstep and the optimizer chokes
+(SURVEY.md §7 "iterative-loop lineage blowup").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SuperstepCheckpointer:
+    base_dir: str | None
+    name: str = "state"
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+    def _dir(self, superstep: int) -> str:
+        assert self.base_dir is not None
+        return os.path.join(self.base_dir, self.name, f"superstep={superstep}")
+
+    def _meta_path(self, superstep: int) -> str:
+        return os.path.join(self._dir(superstep), "meta.json")
+
+    def save(self, df: DataFrame, superstep: int, metrics: dict[str, Any] | None = None) -> DataFrame:
+        """Persist superstep state; returns the (lineage-truncated) state.
+
+        With no ``base_dir``: ``localCheckpoint`` only (lineage truncation,
+        no resumability) — the fast path for tests/bench.
+        """
+        if self.base_dir is None:
+            out = df.localCheckpoint(eager=True)
+            self.history.append({"superstep": superstep, **(metrics or {})})
+            return out
+        path = self._dir(superstep)
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
+        )
+        meta = {
+            "superstep": superstep,
+            "rows": int(sum(r["count"] for r in per_part)),
+            "partitions": [{"pid": int(r["pid"]), "rows": int(r["count"])} for r in per_part],
+            "metrics": metrics or {},
+        }
+        with open(self._meta_path(superstep), "w") as f:
+            json.dump(meta, f)
+        self.history.append({"superstep": superstep, **(metrics or {})})
+        return out
+
+    def latest(self) -> int | None:
+        """Last superstep with a complete (meta.json present) checkpoint."""
+        if self.base_dir is None:
+            return None
+        root = os.path.join(self.base_dir, self.name)
+        if not os.path.isdir(root):
+            return None
+        done = []
+        for d in os.listdir(root):
+            if d.startswith("superstep=") and os.path.exists(os.path.join(root, d, "meta.json")):
+                done.append(int(d.split("=", 1)[1]))
+        return max(done) if done else None
+
+    def load(self, spark: SparkSession, superstep: int) -> DataFrame:
+        return spark.read.parquet(self._dir(superstep))
+
+    def load_meta(self, superstep: int) -> dict[str, Any]:
+        with open(self._meta_path(superstep)) as f:
+            return json.load(f)

@@ -1,0 +1,281 @@
+"""Link-graph analytics over the k-NN edge table: PageRank, connected
+components, label propagation, triangle counting, degrees.
+
+These are the BASELINE.json north_rule "convergence witnesses" — first-class
+algorithms here, whereas the reference only embeds LP-shaped affinity moves
+(``overlapping_partitioning.cpp:23-48``) and degree computations
+(``partitioning.cpp:219``). All are iterative DataFrame programs: one
+equi-join + one aggregation per superstep, state checkpointed every superstep
+(resumable; see ``gp_ann_spark.checkpoint``).
+
+Scale design notes (100 TB / 10^12 edges):
+
+- edge tables are hash-repartitioned once on the join key and cached; every
+  superstep's join then reuses that partitioning (no per-iteration edge
+  shuffle — only the small vertex-state side moves);
+- aggregations are partial+final (Catalyst HashAggregate) — the distributed
+  analogue the reference hand-codes at ``kmeans.cpp:151-204``;
+- hub-vertex skew: ``salted_count`` does explicit two-phase (salt, key)
+  aggregation; triangle counting orients edges by (degree, id) which bounds
+  wedge fan-out by O(sqrt(m)) before any salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.checkpoint import SuperstepCheckpointer
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing as src or dst."""
+    return edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-vertex (out-)degree. ≙ partitioning.cpp:219. Undirected mode
+    counts each incident edge once per endpoint."""
+    if directed:
+        return edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+    both = edges.select(F.col("src").alias("id")).unionByName(edges.select(F.col("dst").alias("id")))
+    return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 32, salt_src: str | None = None) -> DataFrame:
+    """Explicit two-phase salted count for hub keys (north_rule: skew handled
+    explicitly, not just via AQE). Phase 1 groups on (key, salt) — spreading
+    a hub key over ``n_salts`` reducers; phase 2 sums the partials."""
+    salt_col = F.pmod(F.xxhash64(F.col(salt_src) if salt_src else F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = df.withColumn("_salt", salt_col).groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("count"))
+
+
+# ------------------------------------------------------------------ PageRank
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpointer: SuperstepCheckpointer | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge table.
+
+    Semantics (matched by the NumPy/DuckDB oracles to allclose 1e-6):
+    ``pr = (1-d)/N + d * (Σ_in pr(u)/outdeg(u) + dangling_mass/N)`` until
+    ``max |Δpr| < tol``. Returns ``(id, pagerank, n_iter)``.
+
+    Per-superstep plan: broadcast-able vertex state joins the pre-partitioned
+    edge table on src, then one partial+final sum by dst — the only shuffle
+    that moves data proportional to |E| happened once at setup.
+    """
+    spark = edges.sparkSession
+    cp = checkpointer or SuperstepCheckpointer(None, "pagerank")
+    verts = vertices(edges)
+    n = verts.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Pre-join degree into the edge table once; repartition on src so each
+    # superstep's rank⋈edge join reuses the same hash partitioning.
+    e = edges.select("src", "dst").join(out_deg, "src").repartition("src").cache()
+    e.count()
+    dangling = verts.join(out_deg, verts.id == out_deg.src, "left_anti").cache()
+
+    start = cp.latest()
+    if start is not None:
+        ranks = cp.load(spark, start)
+        it0 = start + 1
+    else:
+        ranks = verts.withColumn("pagerank", F.lit(1.0 / n))
+        ranks = cp.save(ranks, 0, {"delta": None})
+        it0 = 1
+
+    n_iter = it0 - 1
+    for it in range(it0, max_iter + 1):
+        n_iter = it
+        dangling_mass = (
+            ranks.join(dangling.select("id"), "id", "left_semi").agg(F.sum("pagerank")).collect()[0][0] or 0.0
+        )
+        contrib = (
+            ranks.join(e, ranks.id == e.src)
+            .select("dst", (F.col("pagerank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_ranks = (
+            verts.join(contrib, verts.id == contrib.dst, "left")
+            .select("id", (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pagerank"))
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("pagerank", "old"), "id")
+            .agg(F.max(F.abs(F.col("pagerank") - F.col("old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        if it % checkpoint_every == 0 or delta < tol:
+            ranks = cp.save(new_ranks, it, {"delta": float(delta)})
+        else:
+            ranks = new_ranks.localCheckpoint(eager=True)
+        if delta < tol:
+            break
+    e.unpersist()
+    dangling.unpersist()
+    return ranks.withColumn("n_iter", F.lit(n_iter))
+
+
+# ------------------------------------------------- Connected components (CC)
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpointer: SuperstepCheckpointer | None = None,
+) -> DataFrame:
+    """Min-label propagation to fixpoint: component id = min vertex id in the
+    component (exact, deterministic). Returns ``(id, component)``.
+
+    Each superstep: push current labels across (symmetrized) edges, take the
+    min per vertex; converged when no label changes. Edge table is
+    partitioned once on src and reused every superstep.
+    """
+    spark = edges.sparkSession
+    cp = checkpointer or SuperstepCheckpointer(None, "cc")
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    sym.count()
+
+    start = cp.latest()
+    if start is not None:
+        labels = cp.load(spark, start)
+        it0 = start + 1
+    else:
+        labels = vertices(edges).withColumn("component", F.col("id"))
+        labels = cp.save(labels, 0, {"changed": None})
+        it0 = 1
+
+    for it in range(it0, max_iter + 1):
+        pushed = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(pushed, labels.id == pushed.dst, "left")
+            .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = cp.save(new_labels, it, {"changed": int(changed)})
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+# ------------------------------------------------- Label propagation (LP)
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    init_labels: DataFrame | None = None,
+    checkpointer: SuperstepCheckpointer | None = None,
+) -> DataFrame:
+    """Synchronous label propagation with deterministic lowest-label
+    tie-break. Returns ``(id, label)`` after ``n_iter`` supersteps.
+
+    ≙ the LP-shaped affinity step of OGP (overlapping_partitioning.cpp:23-48)
+    promoted to a first-class algorithm (north_rule); also the coarsening
+    step of the graph partitioner. Superstep = join + (id, label) count +
+    window argmax with (count desc, label asc) ordering — fully deterministic
+    under synchronous updates.
+    """
+    spark = edges.sparkSession
+    cp = checkpointer or SuperstepCheckpointer(None, "lp")
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    sym.count()
+
+    start = cp.latest()
+    if start is not None:
+        labels = cp.load(spark, start)
+        it0 = start + 1
+    else:
+        labels = (init_labels or vertices(edges).withColumn("label", F.col("id"))).select("id", "label")
+        labels = cp.save(labels, 0, {})
+        it0 = 1
+
+    w = Window.partitionBy("dst").orderBy(F.col("votes").desc(), F.col("label").asc())
+    for it in range(it0, n_iter + 1):
+        votes = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        best = votes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+            F.col("dst").alias("id"), F.col("label").alias("new_label")
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+        )
+        labels = cp.save(new_labels, it, {})
+    sym.unpersist()
+    return labels
+
+
+# ------------------------------------------------------- Triangle counting
+def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+    """Exact triangle counting by degree-ordered orientation + two joins.
+
+    Orient each undirected edge from the (degree, id)-smaller endpoint to the
+    larger; every triangle then appears exactly once as a wedge
+    u→v, v→w closed by u→w. Orientation bounds the wedge-join fan-out per
+    vertex by O(sqrt(m)) — the standard hub-skew mitigation; AQE skew-join
+    splits whatever remains.
+
+    Returns 1-row ``(triangles)`` or per-vertex ``(id, triangles)``.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = degrees(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("deg_b"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            ).otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v"))).alias("e")
+        )
+        .select("e.u", "e.v")
+    ).cache()
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tris = wedges.join(closing, ["x", "z"])
+    if not per_vertex:
+        return tris.agg(F.count(F.lit(1)).alias("triangles"))
+    corners = (
+        tris.select(F.col("x").alias("id"))
+        .unionByName(tris.select(F.col("y").alias("id")))
+        .unionByName(tris.select(F.col("z").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

@@ -1,0 +1,156 @@
+"""Exact k-NN operators: top-k joins, the exact k-NN edge table, symmetrize.
+
+Reference analogues:
+
+- ``BuildExactKNNGraph`` / ``TopKNeighbors`` — ``src/knn_graph.h:14-34``
+  (full O(n²) self-join + bounded heap ``src/topn.h:6-32``);
+- ``Symmetrize`` — ``src/knn_graph.h:272-283``;
+- ``ComputeGroundTruth`` — ``src/recall.h:25-39``.
+
+Spark-first design: the *scale path* is a **broadcast top-k scoring** pass —
+``mapInPandas`` over the big side with the small side (queries / centroids /
+routing points) broadcast as a dense NumPy matrix; each Arrow batch does one
+BLAS matmul and emits only its local top-k per query, then a single
+``groupBy(query)`` window keeps the global top-k. No crossJoin row explosion:
+the shuffle carries O(n_queries × k × n_blocks) rows, not O(n × n_queries).
+
+A pure-Catalyst variant (``exact_knn_sql``) exists for small oracle runs and
+engine cross-checks — its sequential double summation matches the DuckDB
+oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.functions.distances import distance_matrix, sql_distance
+
+KNN_SCHEMA = "query_id long, neighbor_id long, dist double"
+
+
+def _topk_within_block(
+    block_ids: np.ndarray, block_vecs: np.ndarray, q_ids: np.ndarray, q_vecs: np.ndarray,
+    k: int, metric: str, exclude_self: bool,
+) -> pd.DataFrame:
+    """Score one Arrow batch of base points against all queries, keep each
+    query's k best within the block. np.argpartition ≙ the reference's
+    bounded heap (topn.h:6-32) at block granularity."""
+    d = distance_matrix(q_vecs, block_vecs, metric)  # (nq, nb)
+    if exclude_self:
+        same = q_ids[:, None] == block_ids[None, :]
+        d[same] = np.inf
+    nb = d.shape[1]
+    kk = min(k, nb)
+    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < nb else np.argsort(d, axis=1)
+    rows_q = np.repeat(q_ids, kk)
+    rows_n = block_ids[idx.ravel()]
+    rows_d = np.take_along_axis(d, idx, axis=1).ravel()
+    keep = np.isfinite(rows_d)
+    return pd.DataFrame({"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "dist": rows_d[keep]})
+
+
+def exact_knn(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    exclude_self: bool = False,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "vec",
+) -> DataFrame:
+    """Exact top-k of every query against every point.
+
+    Broadcast top-k scoring (see module docstring). Result:
+    ``(query_id, neighbor_id, dist, rank)`` with rank 1..k, deterministic
+    tie-break by neighbor_id. ≙ recall.h:25-39 / knn_graph.h:14-28.
+    """
+    spark = points.sparkSession
+    qpd = queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qvec")).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    q_vecs = np.stack(qpd["qvec"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, q_vecs))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_vecs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield _topk_within_block(ids, vecs, b_ids, b_vecs, k, metric, exclude_self)
+
+    partial = points.select(id_col, vec_col).mapInPandas(score, schema=KNN_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def exact_knn_sql(
+    points: DataFrame, queries: DataFrame, k: int = 10, metric: str = "l2", exclude_self: bool = False,
+) -> DataFrame:
+    """Pure-Catalyst exact k-NN (crossJoin + window). Small-n oracle path;
+    sequential double summation makes ranks bit-compatible with the DuckDB
+    SQL oracle. Expects points(id, vec), queries(query_id, vec)."""
+    p = points.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("_pv"))
+    q = queries.select(F.col("query_id"), F.col("vec").alias("_qv"))
+    pairs = q.crossJoin(p)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("dist", sql_distance(F.col("_qv"), F.col("_pv"), metric))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def knn_edges(points: DataFrame, k: int = 10, metric: str = "l2") -> DataFrame:
+    """Exact k-NN self-graph → directed edge table ``(src, dst, weight)``.
+
+    ≙ BuildExactKNNGraph (knn_graph.h:30-34). The broadcast side is the point
+    set itself, so this is the small-n oracle; the scale path is
+    ``knn_approx.build_knn_graph``.
+    """
+    q = points.select(F.col("id").alias("query_id"), "vec")
+    nn = exact_knn(points, q, k=k, metric=metric, exclude_self=True)
+    return nn.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.col("dist").alias("weight"),
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """edges ∪ reversed(edges), distinct on (src, dst) keeping min weight.
+
+    ≙ Symmetrize (knn_graph.h:272-283). One union (no shuffle) + one groupBy
+    shuffle; at scale this is the canonical partial-aggregated path.
+    """
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    return (
+        edges.select("src", "dst", "weight")
+        .unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+
+
+def merge_topk(candidates: DataFrame, k: int, by: str = "src") -> DataFrame:
+    """Dedup (src,dst) keeping min dist, then keep k best per src.
+
+    ≙ the locked partial top-k merge knn_graph.h:218-235 — here a lock-free
+    groupBy + window."""
+    dedup = candidates.groupBy(by, "dst").agg(F.min("weight").alias("weight"))
+    w = Window.partitionBy(by).orderBy(F.col("weight").asc(), F.col("dst").asc())
+    return dedup.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).drop("rank")

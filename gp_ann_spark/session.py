@@ -1,0 +1,64 @@
+"""SparkSession factory with engine defaults.
+
+Single place where scale-relevant knobs live. Tested on ``local[N]``; the
+same settings are what we would submit with ``spark-submit --py-files`` on a
+real cluster (AQE, Arrow, adaptive skew-join handling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[32], 128 GiB). On a real cluster the
+# same config is passed via spark-submit; shuffle partitions should be set to
+# ~2-3x total cores there.
+_ENGINE_CONF = {
+    # AQE: runtime coalescing of small shuffle partitions, skew-join split.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / applyInPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast threshold: centroid/leader/routing tables are small dims.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Quiet progress bars in test output.
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "gp_ann_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32);
+    ``shuffle_partitions`` defaults to the core count — on a real cluster
+    pass explicit values.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N shuffle partitions keeps every core busy without
+        # flooding tiny test inputs with empty tasks.
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "8"
+        shuffle_partitions = 32 if inner == "*" else int(inner)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.default.parallelism"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

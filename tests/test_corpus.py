@@ -1,0 +1,68 @@
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gp_ann_spark.corpus import dedup_files, dense_ids, featurize, generate_repos, repos_to_points
+
+N = 300
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    a = generate_repos(spark, N, seed=42, n_parts=2).orderBy("repo", "path", "content").collect()
+    b = generate_repos(spark, N, seed=42, n_parts=7).orderBy("repo", "path", "content").collect()
+    assert a == b
+    assert len(a) == N
+
+
+def test_sha256_matches_hashlib_oracle(spark):
+    """Per-row invariant vs the reference harness: content sha256 equality
+    (BASELINE.json input_hint)."""
+    rows = (
+        generate_repos(spark, 50, seed=42)
+        .withColumn("sha256", F.sha2("content", 256))
+        .select("content", "sha256")
+        .collect()
+    )
+    for r in rows:
+        assert r["sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_dedup_collapses_duplicate_contents(spark):
+    repos = generate_repos(spark, N, seed=42)
+    files = dedup_files(repos)
+    n_distinct = repos.select("content").distinct().count()
+    assert files.count() == n_distinct
+    assert files.agg(F.sum("n_dups")).collect()[0][0] == N
+    # duplicates were actually injected (~10%)
+    assert n_distinct < N
+
+
+def test_dense_ids_scalable_matches_window(spark):
+    files = dedup_files(generate_repos(spark, N, seed=42))
+    a = dense_ids(files, "sha256", scalable=True).select("sha256", "id").orderBy("id").collect()
+    b = dense_ids(files, "sha256", scalable=False).select("sha256", "id").orderBy("id").collect()
+    assert a == b
+    ids = [r["id"] for r in a]
+    assert ids == list(range(len(ids)))
+    hashes = [r["sha256"] for r in a]
+    assert hashes == sorted(hashes)
+
+
+def test_featurizer_unit_norm_and_deterministic(spark):
+    points = repos_to_points(generate_repos(spark, 100, seed=42)).orderBy("id")
+    pdf = points.toPandas()
+    vecs = np.stack(pdf["vec"].to_numpy())
+    assert vecs.shape[1] == 64
+    norms = np.sqrt((vecs.astype(np.float64) ** 2).sum(1))
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    pdf2 = repos_to_points(generate_repos(spark, 100, seed=42)).orderBy("id").toPandas()
+    assert np.array_equal(vecs, np.stack(pdf2["vec"].to_numpy()))
+
+
+def test_featurizer_same_content_same_vector(spark):
+    repos = generate_repos(spark, N, seed=42)
+    files = dense_ids(dedup_files(repos), "sha256")
+    pts = featurize(files, dim=32)
+    assert pts.count() == files.count()
+    assert pts.select("id").distinct().count() == pts.count()

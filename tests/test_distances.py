@@ -1,0 +1,51 @@
+import numpy as np
+import pytest
+
+from gp_ann_spark.functions import distances as D
+
+
+@pytest.fixture()
+def ab(rng):
+    return rng.normal(size=(7, 16)), rng.normal(size=(5, 16))
+
+
+def test_pairwise_sqr_l2_matches_naive(ab):
+    a, b = ab
+    naive = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    assert np.allclose(D.pairwise_sqr_l2(a, b), naive, atol=1e-9)
+
+
+def test_mips_matches_naive(ab):
+    a, b = ab
+    assert np.allclose(D.mips_distance_matrix(a, b), 1.0 - a @ b.T)
+
+
+def test_pos_distance_nonnegative_for_unit_vectors(ab):
+    a, b = ab
+    an, bn = D.l2_normalize(a), D.l2_normalize(b)
+    assert (D.pos_distance_matrix(an, bn, "mips") >= 0).all()
+    assert (D.pos_distance_matrix(a, b, "l2") >= 0).all()
+
+
+def test_l2_normalize(ab):
+    a, _ = ab
+    n = D.vec_norm(D.l2_normalize(a))
+    assert np.allclose(n, 1.0)
+    z = D.l2_normalize(np.zeros((2, 4)))
+    assert (z == 0).all()
+
+
+def test_sql_sqr_l2_matches_numpy(spark, ab):
+    a, b = ab
+    from pyspark.sql import functions as F
+
+    rows = [([float(x) for x in a[i]], [float(y) for y in b[i % len(b)]]) for i in range(len(a))]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = np.array([r[0] for r in df.select(D.sql_sqr_l2(F.col("a"), F.col("b"))).collect()])
+    want = np.array([((a[i] - b[i % len(b)]) ** 2).sum() for i in range(len(a))])
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_metric_dispatch_rejects_unknown():
+    with pytest.raises(ValueError):
+        D.distance_matrix(np.zeros((1, 2)), np.zeros((1, 2)), "cosine!")
