@@ -36,7 +36,10 @@ class SuperstepCheckpointer:
         return os.path.join(self.base_dir, self.name, f"superstep={superstep}")
 
     def _meta_path(self, superstep: int) -> str:
-        return os.path.join(self._dir(superstep), "meta.json")
+        # Next to, not inside, the parquet dir — a stray .json inside the
+        # directory would break the parquet footer scan on load.
+        assert self.base_dir is not None
+        return os.path.join(self.base_dir, self.name, f"meta_{superstep}.json")
 
     def save(self, df: DataFrame, superstep: int, metrics: dict[str, Any] | None = None) -> DataFrame:
         """Persist superstep state; returns the (lineage-truncated) state.
@@ -72,10 +75,11 @@ class SuperstepCheckpointer:
         root = os.path.join(self.base_dir, self.name)
         if not os.path.isdir(root):
             return None
-        done = []
-        for d in os.listdir(root):
-            if d.startswith("superstep=") and os.path.exists(os.path.join(root, d, "meta.json")):
-                done.append(int(d.split("=", 1)[1]))
+        done = [
+            int(f[len("meta_") : -len(".json")])
+            for f in os.listdir(root)
+            if f.startswith("meta_") and f.endswith(".json")
+        ]
         return max(done) if done else None
 
     def load(self, spark: SparkSession, superstep: int) -> DataFrame:

@@ -82,6 +82,7 @@ def pagerank(
     e = edges.select("src", "dst").join(out_deg, "src").repartition("src").cache()
     e.count()
     dangling = verts.join(out_deg, verts.id == out_deg.src, "left_anti").cache()
+    has_dangling = dangling.limit(1).count() > 0
 
     start = cp.latest()
     if start is not None:
@@ -95,9 +96,11 @@ def pagerank(
     n_iter = it0 - 1
     for it in range(it0, max_iter + 1):
         n_iter = it
-        dangling_mass = (
-            ranks.join(dangling.select("id"), "id", "left_semi").agg(F.sum("pagerank")).collect()[0][0] or 0.0
-        )
+        dangling_mass = 0.0
+        if has_dangling:
+            dangling_mass = (
+                ranks.join(dangling.select("id"), "id", "left_semi").agg(F.sum("pagerank")).collect()[0][0] or 0.0
+            )
         contrib = (
             ranks.join(e, ranks.id == e.src)
             .select("dst", (F.col("pagerank") / F.col("outdeg")).alias("c"))

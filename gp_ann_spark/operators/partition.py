@@ -1,0 +1,406 @@
+"""Partitioners: random, k-means family wrappers, the from-scratch multilevel
+graph partitioner (replacing KaMinPar), and overlapping variants.
+
+Reference: ``src/partitioning.cpp`` — ``RecursiveKMeansPartitioning``
+(:12-88), ``RebalancingKMeansPartitioning`` (:90-141), ``KMeansPartitioning``
+(:143-146, ε-balance wrapper), ``PartitionGraphWithKaMinPar`` (:172-199,
+external lib — reimplemented here from scratch per BASELINE.json north_star),
+``GraphPartitioning`` (:251-264); ``src/overlapping_partitioning.cpp`` —
+OGP affinity moves (:23-141).
+
+The graph partitioner is the north_star centerpiece: multilevel
+**label-propagation coarsening → driver-local initial partition → projection
++ balance-constrained LP refinement**, all as DataFrame supersteps:
+
+- coarsening contracts the graph ~10× per level via size-constrained LP;
+  after ~3-5 levels even a 10^12-edge graph fits on the driver (≤ ~100k
+  vertices), exactly the shape of multilevel partitioners;
+- every contraction level persists its vertex→cluster map; projection is a
+  chain of broadcast-able joins back up;
+- refinement moves are gain-ordered and capacity-gated by window functions
+  (no locks — the relational analogue of the reference's atomic moves).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.operators import kmeans as KM
+from gp_ann_spark.operators.graph import vertices
+
+SEED = KM.SEED
+
+
+def random_partition(points: DataFrame, num_shards: int, seed: int = SEED, id_col: str = "id") -> DataFrame:
+    """Deterministic pseudo-random shard per id (≙ the random routing/
+    partitioning baseline, routes.cpp:269-285)."""
+    return points.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(num_shards)).cast("int").alias("shard"),
+    )
+
+
+def max_cluster_size(n: int, num_shards: int, eps: float = 0.05) -> int:
+    """ε-balance cap: ceil((1+ε)·n/s) (≙ partition.cpp:88)."""
+    return int(np.ceil((1.0 + eps) * n / num_shards))
+
+
+def kmeans_partition(points: DataFrame, num_shards: int, eps: float = 0.05, n_iter: int = 20,
+                     metric: str = "l2", seed: int = SEED) -> DataFrame:
+    """Balanced k-means partitioning (≙ KMeansPartitioning partitioning.cpp:143-146
+    → BalancedKMeans): hard cap max shard ≤ (1+ε)n/s."""
+    n = points.count()
+    cap = max_cluster_size(n, num_shards, eps)
+    _, assignment = KM.balanced_lloyd(points, num_shards, cap, n_iter=n_iter, metric=metric, seed=seed)
+    return assignment
+
+
+def recursive_kmeans_partition(
+    points: DataFrame, num_shards: int, eps: float = 0.05, n_iter: int = 10,
+    metric: str = "l2", seed: int = SEED, max_depth: int = 6,
+) -> DataFrame:
+    """Plain k-means, then recurse into overloaded clusters and renumber
+    (≙ RecursiveKMeansPartitioning partitioning.cpp:12-88). The recursion is
+    driver-side over DataFrames filtered to oversized shards — expected depth
+    1-2 (partitioning.cpp:57-58)."""
+    n = points.count()
+    cap = max_cluster_size(n, num_shards, eps)
+    _, assignment = KM.lloyd(points, num_shards, n_iter=n_iter, metric=metric, seed=seed)
+    assignment = assignment.localCheckpoint(eager=True)
+
+    for depth in range(max_depth):
+        sizes = assignment.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+        over = [(r["shard"], r["cnt"]) for r in sizes.where(F.col("cnt") > cap).collect()]
+        if not over:
+            break
+        n_existing = assignment.agg(F.max("shard")).collect()[0][0] + 1
+        next_id = n_existing
+        pieces = [assignment.where(~F.col("shard").isin([s for s, _ in over]))]
+        for s, cnt in over:
+            sub_k = int(np.ceil(cnt / cap))
+            sub_pts = points.join(assignment.where(F.col("shard") == s).select("id"), "id", "left_semi")
+            _, sub_asn = KM.lloyd(sub_pts, sub_k, n_iter=n_iter, metric=metric, seed=seed + depth + s)
+            pieces.append(sub_asn.select("id", (F.col("shard") + F.lit(next_id)).cast("int").alias("shard")))
+            next_id += sub_k
+        acc = pieces[0]
+        for p in pieces[1:]:
+            acc = acc.unionByName(p)
+        assignment = acc.localCheckpoint(eager=True)
+    return remap_shard_ids(assignment)
+
+
+def rebalancing_kmeans_partition(
+    points: DataFrame, num_shards: int, eps: float = 0.05, n_iter: int = 20,
+    metric: str = "l2", seed: int = SEED,
+) -> DataFrame:
+    """k-means + greedy re-migration of overflow to nearest non-full shard
+    (≙ RebalancingKMeansPartitioning partitioning.cpp:90-141) — same
+    machinery as balanced_lloyd's enforcement phase."""
+    return kmeans_partition(points, num_shards, eps=eps, n_iter=n_iter, metric=metric, seed=seed)
+
+
+def remap_shard_ids(assignment: DataFrame) -> DataFrame:
+    """Densify shard ids 0..k-1 (≙ RemapPartitionIDs defs.cpp:64-79) —
+    dense_rank over the (tiny) distinct-shard dim table, broadcast back."""
+    distinct = assignment.select("shard").distinct().withColumn(
+        "_new", F.dense_rank().over(Window.orderBy("shard")) - 1
+    )
+    return (
+        assignment.join(F.broadcast(distinct), "shard")
+        .select("id", F.col("_new").cast("int").alias("shard"))
+    )
+
+
+def imbalance(assignment: DataFrame, num_shards: int | None = None) -> float:
+    """max shard size / (n / s) (≙ PrintImbalance partition.cpp:28-34)."""
+    sizes = assignment.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    row = sizes.agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("k")).collect()[0]
+    s = num_shards or row["k"]
+    return float(row["mx"]) / (float(row["n"]) / s)
+
+
+# ------------------------------------------------ multilevel graph partition
+def _lp_coarsen_level(edges: DataFrame, weights: DataFrame, cap: int, rounds: int = 2) -> DataFrame:
+    """One coarsening level: size-constrained label propagation.
+
+    Vertices adopt the heaviest-affinity neighbor label; moves are
+    capacity-gated so no cluster exceeds ``cap`` vertex weight (windows over
+    affinity order — the deterministic relational form of the reference's
+    size-constrained moves in overlapping_partitioning.cpp:50-141).
+    Returns (id, label).
+    """
+    sym = edges.select("src", "dst", "weight").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    labels = weights.select("id", F.col("id").alias("label"), "w")
+    for _ in range(rounds):
+        affinity = (
+            sym.join(labels.select(F.col("id").alias("dst"), F.col("label").alias("cand")), "dst")
+            .groupBy("src", "cand")
+            .agg(F.sum("weight").alias("aff"))
+        )
+        w_best = Window.partitionBy("src").orderBy(F.col("aff").desc(), F.col("cand").asc())
+        best = affinity.withColumn("_r", F.row_number().over(w_best)).where(F.col("_r") == 1)
+        cand = (
+            labels.join(best.select(F.col("src").alias("id"), "cand", "aff"), "id", "left")
+            .withColumn("cand", F.coalesce("cand", "label"))
+        )
+        # capacity gate: cumulative weight into each candidate label, best
+        # affinities first; movers over cap stay put.
+        w_cap = Window.partitionBy("cand").orderBy(F.col("aff").desc_nulls_last(), F.col("id").asc())
+        gated = cand.withColumn("_cum", F.sum("w").over(w_cap)).withColumn(
+            "label", F.when(F.col("_cum") <= cap, F.col("cand")).otherwise(F.col("label"))
+        )
+        labels = gated.select("id", "label", "w").localCheckpoint(eager=True)
+    return labels.select("id", "label")
+
+
+def coarsen_graph(
+    edges: DataFrame, weights: DataFrame | None = None, target: int = 4096, max_levels: int = 8,
+) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+    """Multilevel LP coarsening until ≤ ``target`` vertices.
+
+    Returns (maps, coarse_edges, coarse_weights): ``maps[i]`` is the
+    (id → label) contraction of level i; coarse vertex ids are the label ids.
+    """
+    if weights is None:
+        weights = vertices(edges).withColumn("w", F.lit(1).cast("long"))
+    cur_edges = edges.select("src", "dst", F.col("weight").cast("double")).localCheckpoint(eager=True)
+    cur_w = weights.localCheckpoint(eager=True)
+    n = cur_w.count()
+    total_w = cur_w.agg(F.sum("w")).collect()[0][0]
+    maps: list[DataFrame] = []
+    for _ in range(max_levels):
+        if n <= target:
+            break
+        cap = max(int(total_w / max(target // 4, 1)), 2)
+        lab = _lp_coarsen_level(cur_edges, cur_w, cap)
+        n_new = lab.select("label").distinct().count()
+        if n_new >= n:  # no shrinkage → stop (guard ≙ knn_graph.h:120-131)
+            break
+        maps.append(lab.localCheckpoint(eager=True))
+        lmap_src = lab.select(F.col("id").alias("src"), F.col("label").alias("nsrc"))
+        lmap_dst = lab.select(F.col("id").alias("dst"), F.col("label").alias("ndst"))
+        cur_edges = (
+            cur_edges.join(lmap_src, "src").join(lmap_dst, "dst")
+            .where(F.col("nsrc") != F.col("ndst"))
+            .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+        cur_w = (
+            cur_w.join(lab, "id")
+            .groupBy(F.col("label").alias("id"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        n = n_new
+    return maps, cur_edges, cur_w
+
+
+def _initial_partition_driver(
+    edge_pdf, weight_pdf, num_shards: int, eps: float, seed: int = SEED,
+) -> dict[int, int]:
+    """Driver-local balanced partition of the coarse graph: greedy graph
+    growing + boundary refinement in NumPy (the small-graph analogue of the
+    reference's KaMinPar call, partitioning.cpp:189)."""
+    ids = weight_pdf["id"].to_numpy()
+    wts = weight_pdf["w"].to_numpy().astype(np.int64)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj: list[dict[int, float]] = [dict() for _ in range(n)]
+    for s, d, w in zip(edge_pdf["src"], edge_pdf["dst"], edge_pdf["weight"]):
+        i, j = idx[s], idx[d]
+        if i == j:
+            continue
+        adj[i][j] = adj[i].get(j, 0.0) + w
+        adj[j][i] = adj[j].get(i, 0.0) + w
+    cap = (1.0 + eps) * wts.sum() / num_shards
+    part = np.full(n, -1, dtype=np.int64)
+    loads = np.zeros(num_shards)
+    order = np.argsort(-wts, kind="stable")  # heavy vertices first
+    rng = np.random.default_rng(seed)
+    # greedy growing: seed each shard with the next heaviest unassigned
+    # vertex, then repeatedly add the unassigned vertex with max affinity.
+    for s in range(num_shards):
+        seed_v = next((v for v in order if part[v] == -1), None)
+        if seed_v is None:
+            break
+        frontier = {seed_v}
+        while frontier and loads[s] < wts.sum() / num_shards:
+            gains = {v: sum(w for u, w in adj[v].items() if part[u] == s) for v in frontier}
+            v = max(frontier, key=lambda x: (gains[x], -x))
+            frontier.discard(v)
+            if part[v] != -1 or loads[s] + wts[v] > cap:
+                continue
+            part[v] = s
+            loads[s] += wts[v]
+            for u in adj[v]:
+                if part[u] == -1:
+                    frontier.add(u)
+    for v in order:  # leftovers → least-loaded shard with room
+        if part[v] == -1:
+            s = int(np.argmin(loads))
+            part[v] = s
+            loads[s] += wts[v]
+    # boundary KL-ish refinement: best single-vertex moves while balance holds
+    for _ in range(10):
+        moved = 0
+        for v in rng.permutation(n):
+            conn = np.zeros(num_shards)
+            for u, w in adj[v].items():
+                conn[part[u]] += w
+            cur = part[v]
+            gains = conn - conn[cur]
+            gains[cur] = -np.inf
+            tgt = int(np.argmax(gains))
+            if gains[tgt] > 0 and loads[tgt] + wts[v] <= cap:
+                loads[cur] -= wts[v]
+                loads[tgt] += wts[v]
+                part[v] = tgt
+                moved += 1
+        if moved == 0:
+            break
+    return {int(v): int(p) for v, p in zip(ids, part)}
+
+
+def refine_partition(
+    edges: DataFrame, assignment: DataFrame, cap: int, rounds: int = 3,
+) -> DataFrame:
+    """Balance-constrained LP refinement at full resolution: gain-ordered,
+    capacity-gated single-vertex moves per superstep (the DataFrame form of
+    multilevel refinement; determinstic via (gain, id) ordering)."""
+    sym = edges.select("src", "dst", "weight").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).localCheckpoint(eager=True)
+    asn = assignment.select("id", "shard").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        conn = (
+            sym.join(asn.select(F.col("id").alias("dst"), F.col("shard").alias("cand")), "dst")
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.sum("weight").alias("aff"))
+        )
+        own = asn.withColumnRenamed("shard", "own")
+        with_own = conn.join(own, "id")
+        own_aff = (
+            with_own.where(F.col("cand") == F.col("own"))
+            .select("id", F.col("aff").alias("own_aff"))
+        )
+        cand = (
+            with_own.where(F.col("cand") != F.col("own"))
+            .join(own_aff, "id", "left")
+            .withColumn("gain", F.col("aff") - F.coalesce("own_aff", F.lit(0.0)))
+            .where(F.col("gain") > 0)
+        )
+        w_best = Window.partitionBy("id").orderBy(F.col("gain").desc(), F.col("cand").asc())
+        best = cand.withColumn("_r", F.row_number().over(w_best)).where(F.col("_r") == 1)
+        sizes = asn.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+        room = sizes.select(F.col("shard").alias("cand"), (F.lit(cap) - F.col("cnt")).cast("int").alias("cap"))
+        w_cap = Window.partitionBy("cand").orderBy(F.col("gain").desc(), F.col("id").asc())
+        movers = (
+            best.join(F.broadcast(room), "cand")
+            .withColumn("_fill", F.row_number().over(w_cap))
+            .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
+            .select("id", F.col("cand").alias("new_shard"))
+        )
+        n_moved = movers.count()
+        asn = (
+            asn.join(movers, "id", "left")
+            .select("id", F.coalesce(F.col("new_shard"), F.col("shard")).cast("int").alias("shard"))
+            .localCheckpoint(eager=True)
+        )
+        if n_moved == 0:
+            break
+    return asn
+
+
+def graph_partition(
+    edges: DataFrame,
+    num_shards: int,
+    eps: float = 0.05,
+    coarse_target: int = 4096,
+    refine_rounds: int = 3,
+    seed: int = SEED,
+) -> DataFrame:
+    """From-scratch multilevel balanced k-way graph partitioning
+    (replaces KaMinPar, partitioning.cpp:172-199; composed into "GP"
+    partitioning.cpp:251-264). Returns (id, shard), max shard ≤ (1+ε)n/s.
+    """
+    maps, c_edges, c_w = coarsen_graph(edges, target=coarse_target)
+    edge_pdf = c_edges.toPandas()
+    weight_pdf = c_w.toPandas()
+    part = _initial_partition_driver(edge_pdf, weight_pdf, num_shards, eps, seed)
+    spark = edges.sparkSession
+    coarse_asn = spark.createDataFrame(
+        [(int(v), int(s)) for v, s in part.items()], "label long, shard int"
+    )
+    # project back up through the contraction maps: maps[i] is
+    # (id@level_i → label@level_{i+1}); walk coarsest → finest.
+    asn = coarse_asn  # (label, shard) keyed by coarsest vertex ids
+    for lab in reversed(maps):
+        asn = lab.join(asn, "label").select(F.col("id").alias("label"), "shard")
+    asn = asn.select(F.col("label").alias("id"), "shard")
+    n = asn.count()
+    cap = max_cluster_size(n, num_shards, eps)
+    return refine_partition(edges, asn, cap, rounds=refine_rounds)
+
+
+def overlapping_partition(
+    edges: DataFrame,
+    assignment: DataFrame,
+    overlap: float = 0.2,
+    eps: float = 0.05,
+    num_shards: int | None = None,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Overlapping graph partitioning: iterated affinity moves append extra
+    (id, shard) cover rows until the overlap budget o·n is spent
+    (≙ OverlappingGraphPartitioning overlapping_partitioning.cpp:50-141;
+    TopMove :23-48 = one LP step; valid-target predicate :36 = anti-join).
+
+    Returns a *cover* relation — ids may appear in multiple shards
+    (Cover semantics defs.h:32, free in relational form, SURVEY §1).
+    """
+    sym = edges.select("src", "dst", "weight").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).localCheckpoint(eager=True)
+    cover = assignment.select("id", "shard").localCheckpoint(eager=True)
+    n = assignment.select("id").distinct().count()
+    s = num_shards or (assignment.agg(F.max("shard")).collect()[0][0] + 1)
+    budget = int(overlap * n)
+    cap = max_cluster_size(n, s, eps) + int(np.ceil(budget / s))
+
+    for _ in range(max_rounds):
+        if budget <= 0:
+            break
+        affinity = (
+            sym.join(cover.select(F.col("id").alias("dst"), F.col("shard").alias("cand")), "dst")
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.count(F.lit(1)).alias("aff"))
+        )
+        # valid targets only: not already in the point's cover (anti-join)
+        new_targets = affinity.join(
+            cover.select("id", F.col("shard").alias("cand")), ["id", "cand"], "left_anti"
+        )
+        w_best = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cand").asc())
+        best = new_targets.withColumn("_r", F.row_number().over(w_best)).where(F.col("_r") == 1)
+        sizes = cover.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+        room = sizes.select(F.col("shard").alias("cand"), (F.lit(cap) - F.col("cnt")).cast("long").alias("cap"))
+        w_cap = Window.partitionBy("cand").orderBy(F.col("aff").desc(), F.col("id").asc())
+        w_glob = Window.orderBy(F.col("aff").desc(), F.col("id").asc())
+        moves = (
+            best.join(F.broadcast(room), "cand")
+            .withColumn("_fill", F.row_number().over(w_cap))
+            .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
+            .withColumn("_g", F.row_number().over(w_glob))
+            .where(F.col("_g") <= budget)
+            .select("id", F.col("cand").cast("int").alias("shard"))
+        )
+        n_moves = moves.count()
+        if n_moves == 0:
+            break
+        budget -= n_moves
+        cover = cover.unionByName(moves).localCheckpoint(eager=True)
+    return cover

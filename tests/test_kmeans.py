@@ -1,0 +1,73 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from gp_ann_spark.operators import kmeans as KM
+from tests.conftest import make_points_df
+
+
+def blobs(rng, centers, per=30, d=6, spread=0.05):
+    pts = []
+    for c in centers:
+        pts.append(rng.normal(loc=c, scale=spread, size=(per, d)))
+    return np.vstack(pts)
+
+
+def test_lloyd_recovers_separated_blobs(spark, rng):
+    centers = [np.full(6, v) for v in (0.0, 5.0, 10.0)]
+    X = blobs(rng, centers)
+    df = make_points_df(spark, X).cache()
+    centroids, asn = KM.lloyd(df, 3, n_iter=8)
+    labels = {r["id"]: r["shard"] for r in asn.collect()}
+    for g in range(3):
+        group = {labels[i] for i in range(g * 30, (g + 1) * 30)}
+        assert len(group) == 1  # each blob in exactly one shard
+    assert len({labels[0], labels[30], labels[60]}) == 3
+    assert centroids.shape == (3, 6)
+
+
+def test_assign_matches_numpy_argmin(spark, rng):
+    X = rng.normal(size=(40, 5))
+    C = rng.normal(size=(4, 5))
+    df = make_points_df(spark, X)
+    got = {r["id"]: r["shard"] for r in KM.assign_to_centroids(df, C).collect()}
+    want = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert got == {i: int(want[i]) for i in range(40)}
+
+
+def test_lloyd_deterministic(spark, rng):
+    X = rng.normal(size=(80, 4))
+    df = make_points_df(spark, X).cache()
+    c1, a1 = KM.lloyd(df, 4, n_iter=5)
+    c2, a2 = KM.lloyd(df, 4, n_iter=5)
+    assert np.allclose(c1, c2)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_balanced_lloyd_enforces_cap(spark, rng):
+    # One dominant blob: plain k-means would put ~all mass in one shard.
+    X = np.vstack([rng.normal(0, 0.05, size=(90, 4)), rng.normal(5, 0.05, size=(10, 4))])
+    df = make_points_df(spark, X).cache()
+    cap = 40
+    _, asn = KM.balanced_lloyd(df, 3, cap, n_iter=5)
+    sizes = [r["cnt"] for r in asn.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()]
+    assert sum(sizes) == 100  # every point assigned exactly once
+    assert max(sizes) <= cap
+    assert asn.select("id").distinct().count() == 100
+
+
+def test_capacity_fill_semantics(spark):
+    # two shards cap 1; ids 1,2 both prefer shard 0; id 2's better score wins.
+    rows = [(1, 0, 0.5), (1, 1, 0.9), (2, 0, 0.1), (2, 1, 0.8)]
+    df = spark.createDataFrame(rows, "id long, shard int, dist double")
+    out = {(r["id"], r["shard"]) for r in KM.capacity_fill(df, 1).collect()}
+    assert out == {(2, 0), (1, 1)}
+
+
+def test_seeded_sample_deterministic(spark, rng):
+    X = rng.normal(size=(50, 3))
+    df = make_points_df(spark, X)
+    a = KM.seeded_sample_centroids(df, 5, seed=555)
+    b = KM.seeded_sample_centroids(df, 5, seed=555)
+    assert np.array_equal(a, b)
+    c = KM.seeded_sample_centroids(df, 5, seed=556)
+    assert not np.array_equal(a, c)

@@ -1,0 +1,98 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from gp_ann_spark.operators import partition as P
+from tests.conftest import make_edges_df, make_points_df
+from tests.test_graph import two_cliques_bridge
+
+
+def ring_of_cliques(n_cliques=6, size=6):
+    """n_cliques K_size cliques in a ring, adjacent cliques joined by one
+    edge — ideal multilevel-partitioner fixture (clear cluster structure)."""
+    e = []
+    for c in range(n_cliques):
+        base = c * size
+        for i in range(size):
+            for j in range(i + 1, size):
+                e.append((base + i, base + j, 1.0))
+        nxt = ((c + 1) % n_cliques) * size
+        e.append((base, nxt + 1, 0.5))
+    return e
+
+
+def cut_weight(edge_list, assignment):
+    return sum(w for a, b, w in edge_list if assignment[a] != assignment[b])
+
+
+def test_random_partition_deterministic_and_spread(spark):
+    pts = spark.range(100).select(F.col("id"))
+    a = {r["id"]: r["shard"] for r in P.random_partition(pts, 4).collect()}
+    b = {r["id"]: r["shard"] for r in P.random_partition(pts, 4).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3}
+
+
+def test_max_cluster_size():
+    assert P.max_cluster_size(100, 4, 0.05) == 27
+    assert P.max_cluster_size(1000, 40, 0.05) == 27
+
+
+def test_graph_partition_two_cliques(spark):
+    edges = make_edges_df(spark, two_cliques_bridge())
+    asn = {r["id"]: r["shard"] for r in P.graph_partition(edges, 2, coarse_target=4).collect()}
+    assert len(asn) == 10
+    # each clique uncut; only the bridge crosses
+    assert len({asn[i] for i in range(5)}) == 1
+    assert len({asn[i] for i in range(10, 15)}) == 1
+    assert asn[0] != asn[10]
+    assert cut_weight(two_cliques_bridge(), asn) == 1.0
+
+
+def test_graph_partition_ring_of_cliques_balance_and_cut(spark):
+    el = ring_of_cliques(6, 6)  # 36 vertices
+    edges = make_edges_df(spark, el)
+    asn_df = P.graph_partition(edges, 3, eps=0.05, coarse_target=12)
+    asn = {r["id"]: r["shard"] for r in asn_df.collect()}
+    assert len(asn) == 36
+    assert P.imbalance(asn_df, 3) <= 1.05 + 1e-9
+    # a good 3-way partition cuts at most 3 of the 6 ring links (weight 0.5)
+    assert cut_weight(el, asn) <= 3 * 0.5 + 1e-9
+    # no clique is split
+    for c in range(6):
+        assert len({asn[c * 6 + i] for i in range(6)}) == 1
+
+
+def test_recursive_kmeans_respects_cap(spark, rng):
+    X = np.vstack([rng.normal(0, 0.05, size=(80, 4)), rng.normal(4, 0.05, size=(20, 4))])
+    df = make_points_df(spark, X).cache()
+    asn = P.recursive_kmeans_partition(df, 4, eps=0.05, n_iter=5)
+    sizes = [r["c"] for r in asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert sum(sizes) == 100
+    # shard ids dense 0..k-1
+    shards = sorted(r["shard"] for r in asn.select("shard").distinct().collect())
+    assert shards == list(range(len(shards)))
+    assert max(sizes) <= P.max_cluster_size(100, 4, 0.05)
+
+
+def test_imbalance_metric(spark):
+    rows = [(i, 0) for i in range(6)] + [(i, 1) for i in range(6, 10)]
+    asn = spark.createDataFrame(rows, "id long, shard int")
+    assert P.imbalance(asn, 2) == 6 / 5
+
+
+def test_overlapping_partition_budget_and_cover(spark):
+    el = two_cliques_bridge()
+    edges = make_edges_df(spark, el)
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(i, 1) for i in range(10, 15)], "id long, shard int"
+    )
+    cover = P.overlapping_partition(edges, base, overlap=0.4, num_shards=2)
+    n_extra = cover.count() - 10
+    assert 0 < n_extra <= 4  # budget = 0.4 * 10
+    # original assignment still contained in the cover
+    assert base.exceptAll(cover.select("id", "shard")).count() == 0
+    # no duplicate (id, shard) rows
+    assert cover.distinct().count() == cover.count()
+    # the bridge endpoints have the highest cross-affinity → duplicated first
+    extras = cover.exceptAll(base).collect()
+    assert {4, 10} <= {r["id"] for r in extras}
