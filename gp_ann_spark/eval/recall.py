@@ -1,0 +1,123 @@
+"""Evaluation operators: ground truth, distance-based recall, recall-vs-probes
+curves, oracle probe orders, first-shard recall.
+
+Reference: ``src/recall.h`` — ``ComputeGroundTruth`` (:25-39),
+``ComputeDistanceToKthNeighbor`` (:10-23), ``Recall`` (:139-150 — *distance
+based*: a returned neighbor counts iff its distance ≤ the query's exact kth-NN
+distance, so ties count); ``oracle_recall.cpp:10-38``
+(RecallForIncreasingProbes), ``src/recall.h:41-68`` (oracle probe order),
+``src/routes.cpp:11-31`` (first-shard routing recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.operators.knn import exact_knn
+
+
+def ground_truth(points: DataFrame, queries: DataFrame, k: int = 10, metric: str = "l2") -> DataFrame:
+    """Exact top-k per query (≙ ComputeGroundTruth recall.h:25-39).
+    Returns (query_id, neighbor_id, dist, rank)."""
+    return exact_knn(points, queries, k=k, metric=metric)
+
+
+def distance_to_kth_neighbor(gt: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, threshold): the exact kth-NN distance
+    (≙ ComputeDistanceToKthNeighbor recall.h:10-23)."""
+    return gt.where(F.col("rank") == k).select("query_id", F.col("dist").alias("threshold"))
+
+
+def recall(results: DataFrame, thresholds: DataFrame, k: int, n_queries: int, eps: float = 1e-9) -> float:
+    """Distance-based recall@k (≙ Recall recall.h:139-150): fraction of
+    returned neighbors within the per-query kth-NN distance (ties count;
+    eps absorbs float reassociation, mirroring the reference's tolerance
+    sweep recall.h:85-86)."""
+    hits = (
+        results.where(F.col("rank") <= k)
+        .join(thresholds, "query_id")
+        .where(F.col("dist") <= F.col("threshold") + eps)
+        .count()
+    )
+    return hits / (n_queries * k)
+
+
+def gt_shard_hits(gt: DataFrame, cover: DataFrame) -> DataFrame:
+    """(query_id, shard, hits): how many GT neighbors live in each shard
+    (cover semantics: a neighbor in multiple shards contributes to each —
+    ≙ recall.h:41-68 / route_search_combination.cpp:85-116)."""
+    return (
+        gt.join(cover.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "shard")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def oracle_probe_order(gt: DataFrame, cover: DataFrame) -> DataFrame:
+    """Probe shards by descending GT-neighbor count — the per-query oracle
+    router (≙ oracle_recall.cpp:97-119). Returns (query_id, shard, probe_rank)."""
+    hits = gt_shard_hits(gt, cover)
+    w = Window.partitionBy("query_id").orderBy(F.col("hits").desc(), F.col("shard").asc())
+    return hits.withColumn("probe_rank", F.row_number().over(w)).select("query_id", "shard", "probe_rank")
+
+
+def recall_vs_probes(
+    gt: DataFrame, cover: DataFrame, routes: DataFrame, k: int, n_queries: int,
+) -> DataFrame:
+    """The headline curve: cumulative recall@k as probes increase
+    (≙ RecallForIncreasingProbes oracle_recall.cpp:10-38).
+
+    A GT neighbor is found at the *first* probe_rank whose shard contains it
+    (dedup across shards = min probe_rank, ≙ the `found` bitset in
+    oracle_recall.cpp:21-27); the curve is the running sum over probe ranks.
+    Returns (nprobes, recall) with one row per probe rank.
+    """
+    first_found = (
+        gt.select("query_id", "neighbor_id")
+        .join(cover.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(routes, ["query_id", "shard"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("probe_rank").alias("first_probe"))
+    )
+    per_rank = first_found.groupBy(F.col("first_probe").alias("nprobes")).agg(F.count(F.lit(1)).alias("found"))
+    w = Window.orderBy("nprobes").rowsBetween(Window.unboundedPreceding, 0)
+    return per_rank.withColumn("recall", F.sum("found").over(w) / (n_queries * k)).select("nprobes", "recall")
+
+
+def first_shard_recall(gt: DataFrame, cover: DataFrame, routes: DataFrame, k: int, n_queries: int) -> float:
+    """Fraction of GT neighbors covered by the first probed shard
+    (≙ MaxFirstShardRoutingRecall routes.cpp:11-31)."""
+    first = routes.where(F.col("probe_rank") == 1).select("query_id", "shard")
+    hits = (
+        gt.select("query_id", "neighbor_id")
+        .join(cover.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(first, ["query_id", "shard"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    return hits / (n_queries * k)
+
+
+def max_shard_search_recall(gt: DataFrame, cover: DataFrame, k: int, n_queries: int) -> float:
+    """Recall ceiling if every shard were probed (≙ MaxShardSearchRecall
+    route_search_combination.cpp:65-83): GT neighbors present in ≥1 shard."""
+    covered = (
+        gt.select("query_id", "neighbor_id")
+        .join(cover.withColumnRenamed("id", "neighbor_id").select("neighbor_id").distinct(), "neighbor_id")
+        .count()
+    )
+    return covered / (n_queries * k)
+
+
+def pareto_front(configs: DataFrame, x: str = "recall", y: str = "qps") -> DataFrame:
+    """Drop dominated (recall, QPS) configs (≙ route_search_combination.cpp:
+    193-218): keep rows where no other row is ≥ in both dims (> in one).
+    Config grids are tiny — a window over recall-descending order suffices."""
+    w = Window.orderBy(F.col(x).desc(), F.col(y).desc()).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        configs.withColumn("_best_y", F.max(y).over(w))
+        .where(F.col("_best_y").isNull() | (F.col(y) > F.col("_best_y")))
+        .drop("_best_y")
+    )

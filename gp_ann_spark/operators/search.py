@@ -1,0 +1,107 @@
+"""Sharded search: probe shards per the routing order, merge results.
+
+Reference: ``src/inverted_index.h`` (CSR-blocked brute-force shard probe),
+``src/inverted_index_hnsw.h`` (per-shard HNSW probe),
+``src/shard_searches.cpp`` (per-shard search sweeps),
+``small_scale_queries.cpp:146-188`` (probe-accumulate-dedup loop),
+``src/distributed_query_benchmark.h`` (the MPI path — here the shuffle IS
+the message exchange).
+
+Spark-first design: points are **co-partitioned by shard** (the relational
+form of the reference's CSR-blocked inverted index, north_star), the probe
+plan ``(query, shard)`` is joined with query vectors and cogrouped with the
+points by shard; one ``applyInPandas`` per shard runs the blocked BLAS
+top-k for every query probing that shard. In-shard search is exact
+(per SURVEY §2.10: recall semantics are matched against exact oracles; the
+reference's per-shard HNSW is an approximation of exactly this operator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.functions.distances import distance_matrix
+
+
+def shard_points(points: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Co-partition points by shard — the inverted index at rest
+    (≙ InvertedIndex CSR blocks, inverted_index.h:12-41). Write this with
+    ``.write.partitionBy("shard")`` and probes become partition-pruned scans
+    (≙ the seek-coalesced sharded read, distributed_query_benchmark.h:48-84).
+    """
+    return points.join(assignment, "id").repartition("shard")
+
+
+def probe_shards(
+    sharded_points: DataFrame,
+    queries: DataFrame,
+    routes: DataFrame,
+    k: int = 10,
+    nprobes: int | None = None,
+    metric: str = "l2",
+) -> DataFrame:
+    """Search each query in every shard it probes.
+
+    ``routes`` = (query_id, shard, probe_rank); only rows with
+    probe_rank ≤ nprobes are executed. Returns
+    (query_id, shard, probe_rank, neighbor_id, dist) — per-(query,shard)
+    top-k (≙ InvertedIndex::QueryBucket inverted_index.h:43-60).
+    """
+    probe = routes if nprobes is None else routes.where(F.col("probe_rank") <= nprobes)
+    probe_q = probe.join(queries.select("query_id", "vec"), "query_id").select(
+        "shard", "query_id", "probe_rank", "vec"
+    )
+
+    def search(points_pdf: pd.DataFrame, queries_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(points_pdf) == 0 or len(queries_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "shard": [], "probe_rank": [], "neighbor_id": [], "dist": []}
+            ).astype({"query_id": "int64", "shard": "int32", "probe_rank": "int32", "neighbor_id": "int64", "dist": "float64"})
+        X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
+        ids = points_pdf["id"].to_numpy()
+        Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
+        d = distance_matrix(Q, X, metric)
+        kk = min(k, d.shape[1])
+        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1)
+        shard = int(points_pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(queries_pdf["query_id"].to_numpy(), kk),
+                "shard": shard,
+                "probe_rank": np.repeat(queries_pdf["probe_rank"].to_numpy(), kk),
+                "neighbor_id": ids[idx.ravel()],
+                "dist": np.take_along_axis(d, idx, axis=1).ravel(),
+            }
+        )
+
+    return sharded_points.groupBy("shard").cogroup(probe_q.groupBy("shard")).applyInPandas(
+        search, schema="query_id long, shard int, probe_rank int, neighbor_id long, dist double"
+    )
+
+
+def merge_results(shard_results: DataFrame, k: int = 10) -> DataFrame:
+    """Dedup neighbors across probed shards, keep global top-k per query
+    (≙ DedupNeighbors small_scale_queries.cpp:15-23 + TopN merge).
+    Returns (query_id, neighbor_id, dist, rank)."""
+    dedup = shard_results.groupBy("query_id", "neighbor_id").agg(F.min("dist").alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return dedup.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def search_pipeline(
+    points: DataFrame,
+    assignment: DataFrame,
+    queries: DataFrame,
+    routes: DataFrame,
+    k: int = 10,
+    nprobes: int = 2,
+    metric: str = "l2",
+) -> DataFrame:
+    """route → probe → merge (the reference's serving path,
+    small_scale_queries.cpp:146-188, minus the recall eval)."""
+    sp = shard_points(points, assignment)
+    sr = probe_shards(sp, queries, routes, k=k, nprobes=nprobes, metric=metric)
+    return merge_results(sr, k=k)

@@ -1,0 +1,105 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gp_ann_spark.eval import recall as R
+from gp_ann_spark.operators import partition as P
+from gp_ann_spark.operators import routing as RT
+from gp_ann_spark.operators import search as S
+from tests.conftest import make_points_df
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(4, 8)) * 4
+    X = np.vstack([rng.normal(c, 0.4, size=(50, 8)) for c in centers])
+    Q = np.vstack([rng.normal(c, 0.4, size=(5, 8)) for c in centers])
+    points = make_points_df(spark, X).cache()
+    queries = make_points_df(spark, Q, id_col="query_id").cache()
+    assignment = P.kmeans_partition(points, 4, n_iter=6).localCheckpoint(eager=True)
+    gt = R.ground_truth(points, queries, k=10).localCheckpoint(eager=True)
+    return points, queries, assignment, gt, len(Q)
+
+
+def test_shard_centroids_match_numpy(spark, setup):
+    points, _, assignment, _, _ = setup
+    cents = {r["shard"]: np.array(r["vec"]) for r in RT.shard_centroids(points, assignment).collect()}
+    pdf = points.join(assignment, "id").toPandas()
+    for s, grp in pdf.groupby("shard"):
+        want = np.stack(grp["vec"].to_numpy()).mean(0)
+        assert np.allclose(cents[s], want, atol=1e-5)
+
+
+def test_probe_order_policies(spark):
+    rows = [
+        (1, 0, 0.5, 3), (1, 1, 0.2, 1), (1, 2, 2.0, 6),
+    ]
+    scored = spark.createDataFrame(rows, "query_id long, shard int, min_dist double, votes long")
+    md = [(r["shard"]) for r in RT.probe_order(scored, "min_dist").orderBy("probe_rank").collect()]
+    assert md == [1, 0, 2]
+    fr = [(r["shard"]) for r in RT.probe_order(scored, "frequency").orderBy("probe_rank").collect()]
+    assert fr == [2, 0, 1]
+    sp = [(r["shard"]) for r in RT.probe_order(scored, "spann", spann_eps=1.6).orderBy("probe_rank").collect()]
+    assert sp == [1, 0]  # 0.5 <= 2.6*0.2? no → only within (1+1.6)*0.2=0.52 → shards 1,0
+    with pytest.raises(ValueError):
+        RT.probe_order(scored, "bogus")
+
+
+def test_full_probe_recall_is_one(spark, setup):
+    points, queries, assignment, gt, nq = setup
+    routes = RT.centroid_router(queries, points, assignment)
+    results = S.search_pipeline(points, assignment, queries, routes, k=10, nprobes=4)
+    thr = R.distance_to_kth_neighbor(gt, 10)
+    assert R.recall(results, thr, 10, nq) == pytest.approx(1.0)
+
+
+def test_search_results_match_gt_at_full_probes(spark, setup):
+    points, queries, assignment, gt, _ = setup
+    routes = RT.centroid_router(queries, points, assignment)
+    results = S.search_pipeline(points, assignment, queries, routes, k=10, nprobes=4)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in results.collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in gt.collect())
+    assert a == b
+
+
+def test_recall_vs_probes_monotone_and_caps_at_oracle(spark, setup):
+    points, queries, assignment, gt, nq = setup
+    routes = RT.centroid_router(queries, points, assignment)
+    curve = R.recall_vs_probes(gt, assignment, routes, 10, nq).orderBy("nprobes").collect()
+    vals = [r["recall"] for r in curve]
+    assert vals == sorted(vals)
+    assert vals[-1] == pytest.approx(R.max_shard_search_recall(gt, assignment, 10, nq))
+    assert vals[-1] == pytest.approx(1.0)  # single-assignment partition covers all
+
+
+def test_oracle_first_shard_dominates_router(spark, setup):
+    points, queries, assignment, gt, nq = setup
+    router_routes = RT.centroid_router(queries, points, assignment)
+    oracle_routes = R.oracle_probe_order(gt, assignment)
+    r_router = R.first_shard_recall(gt, assignment, router_routes, 10, nq)
+    r_oracle = R.first_shard_recall(gt, assignment, oracle_routes, 10, nq)
+    assert r_oracle >= r_router - 1e-9
+    assert r_oracle > 0.5  # clustered data: oracle first shard is strong
+
+
+def test_kmeans_tree_router_beats_random_first_shard(spark, setup):
+    points, queries, assignment, gt, nq = setup
+    tree = RT.train_kmeans_tree(points, assignment, branching=8, min_cluster_size=10, seed=1)
+    assert tree.count() >= 4  # at least one node per shard
+    routes = RT.kmeans_tree_router(queries, tree, num_voting=20)
+    r_tree = R.first_shard_recall(gt, assignment, routes, 10, nq)
+    rand_routes = (
+        queries.select("query_id").crossJoin(spark.range(4).select(F.col("id").cast("int").alias("shard")))
+        .withColumn("probe_rank", F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("query_id").orderBy(F.xxhash64("query_id", "shard"))))
+    )
+    r_rand = R.first_shard_recall(gt, assignment, rand_routes, 10, nq)
+    assert r_tree > r_rand
+
+
+def test_pareto_front(spark):
+    rows = [(0.9, 100.0), (0.8, 200.0), (0.85, 50.0), (0.95, 20.0)]
+    df = spark.createDataFrame(rows, "recall double, qps double")
+    got = {(r["recall"], r["qps"]) for r in R.pareto_front(df).collect()}
+    assert got == {(0.95, 20.0), (0.9, 100.0), (0.8, 200.0)}
