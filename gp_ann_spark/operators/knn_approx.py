@@ -1,0 +1,225 @@
+"""Approximate k-NN graph builder: recursive leader sketching.
+
+Reference: ``ApproximateKNNGraphBuilder`` (``src/knn_graph.h:52-143``, params
+:254-265): per repetition, sample leaders (950 at the top level, 0.5% capped
+at 1500 below), assign every point to its ``fanout``=3 closest leaders
+(duplicating points across buckets — that is what discovers cross-boundary
+edges), recurse into buckets larger than ``max_cluster_size``=5000 up to
+depth 14, brute-force each final bucket (``CrunchBucket`` :165-185), merge
+per-bucket top-k lists across buckets and 3 repetitions with dedup
+(:218-235).
+
+Spark-first shape — an iterative DataFrame loop, no driver recursion over
+data:
+
+- state is ``(id, vec, bucket)`` where ``bucket`` is a path-encoded id
+  (parent_bucket * fanout_limit + leader_rank) — the recursion tree lives in
+  a column, bounded by MAX_DEPTH like the reference;
+- leaders are a *deterministic seeded sample per bucket* (smallest
+  xxhash64(id, seed, depth) — partition-independent, ≙ the seeded
+  std::sample at knn_graph.h:75);
+- point→leader assignment is one cogrouped ``applyInPandas`` per bucket
+  (blocked BLAS, top-``fanout`` per point);
+- finished buckets flow straight into the per-bucket brute-force stage —
+  only oversized buckets iterate again;
+- candidates from all buckets and repetitions union, then one
+  ``merge_topk`` (groupBy + window) deduplicates — lock-free vs the
+  reference's spinlocked merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.operators.knn import merge_topk, symmetrize
+
+# Reference hyperparameters (knn_graph.h:254-265)
+TOP_LEVEL_LEADERS = 950
+LEADER_FRACTION = 0.005
+MAX_LEADERS = 1500
+FANOUT = 3  # top level ONLY; recursion uses fanout=1 (knn_graph.h:133) —
+# total duplication is 3×n per repetition, not 3^depth
+MAX_CLUSTER_SIZE = 5000
+MIN_CLUSTER_SIZE = 50
+MAX_MERGED_CLUSTER_SIZE = 2500
+MAX_DEPTH = 14
+REPETITIONS = 3
+SEED = 555
+
+
+def _realias(df: DataFrame) -> DataFrame:
+    """Fresh exprIds for every column (localCheckpoint keeps the originals,
+    which trips the ambiguous-self-join check when cogrouping a frame with
+    its own derivation)."""
+    return df.select([F.col(c).alias(c) for c in df.columns])
+
+
+def _assign_to_leaders(
+    pts: DataFrame, leaders: DataFrame, fanout: int, metric: str,
+) -> DataFrame:
+    """Within each bucket, assign every point to its top-``fanout`` closest
+    leaders; new bucket = old * MAX_LEADERS+1 + leader_rank (path encoding).
+    Cogrouped applyInPandas: one dense (m×d)@(L×d) BLAS per bucket
+    (≙ ClosestLeaders defs.cpp:87-96 at bucket granularity)."""
+
+    def assign(pts_pdf: pd.DataFrame, lead_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pts_pdf) == 0:
+            return pd.DataFrame({"id": [], "bucket": []}).astype({"id": "int64", "bucket": "int64"})
+        if len(lead_pdf) == 0:  # no leaders sampled (tiny bucket) — keep as-is
+            return pd.DataFrame({"id": pts_pdf["id"], "bucket": pts_pdf["bucket"] * (MAX_LEADERS + 1)})
+        X = np.stack(pts_pdf["vec"].to_numpy()).astype(np.float64)
+        L = np.stack(lead_pdf["vec"].to_numpy()).astype(np.float64)
+        ranks = lead_pdf["leader_rank"].to_numpy()
+        d = distance_matrix(X, L, metric)
+        f = min(fanout, d.shape[1])
+        idx = np.argpartition(d, f - 1, axis=1)[:, :f] if f < d.shape[1] else np.tile(np.arange(d.shape[1]), (len(X), 1))
+        base = pts_pdf["bucket"].to_numpy() * (MAX_LEADERS + 1)
+        return pd.DataFrame(
+            {
+                "id": np.repeat(pts_pdf["id"].to_numpy(), idx.shape[1]),
+                "bucket": np.repeat(base, idx.shape[1]) + ranks[idx.ravel()] + 1,
+            }
+        )
+
+    return pts.groupBy("bucket").cogroup(leaders.groupBy("bucket")).applyInPandas(
+        assign, schema="id long, bucket long"
+    )
+
+
+def _bucket_bruteforce(bucketed: DataFrame, k: int, metric: str) -> DataFrame:
+    """All-pairs k-NN inside each bucket (≙ CrunchBucket knn_graph.h:165-185):
+    one applyInPandas per bucket, dense m×m BLAS, local top-k."""
+
+    def crunch(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"src": [], "dst": [], "weight": []}).astype(
+                {"src": "int64", "dst": "int64", "weight": "float64"}
+            )
+        X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        d = distance_matrix(X, X, metric)
+        # a point can occur twice in a merged bucket (fanout duplication) —
+        # mask every equal-id pair, not just the diagonal
+        d[ids[:, None] == ids[None, :]] = np.inf
+        kk = min(k, m - 1)
+        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        w = np.take_along_axis(d, idx, axis=1).ravel()
+        keep = np.isfinite(w)  # drop masked equal-id pairs
+        return pd.DataFrame(
+            {"src": np.repeat(ids, kk)[keep], "dst": ids[idx.ravel()][keep], "weight": w[keep]}
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(crunch, schema="src long, dst long, weight double")
+
+
+def _merge_small_buckets(
+    pts: DataFrame, min_size: int = MIN_CLUSTER_SIZE, max_merged: int = MAX_MERGED_CLUSTER_SIZE,
+) -> DataFrame:
+    """Merge buckets smaller than ``min_size`` into batches ≤ ``max_merged``
+    (≙ knn_graph.h:100-112 — avoids isolated nodes at the cost of a few long
+    range candidate edges). The window cumsum over the (tiny) bucket-size
+    table is the relational form of the reference's sorted greedy packing."""
+    sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    small = sizes.where(F.col("n") < min_size)
+    if small.limit(1).count() == 0:
+        return pts
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    merged_map = small.withColumn(
+        "_merged", -(F.floor(F.sum("n").over(w) / max_merged) + 1)
+    ).select("bucket", "_merged")
+    return (
+        pts.join(F.broadcast(merged_map), "bucket", "left")
+        .select("id", "vec", F.coalesce("_merged", F.col("bucket")).alias("bucket"))
+    )
+
+
+def build_knn_graph(
+    points: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    repetitions: int = REPETITIONS,
+    fanout: int = FANOUT,
+    max_cluster_size: int = MAX_CLUSTER_SIZE,
+    top_level_leaders: int = TOP_LEVEL_LEADERS,
+    max_depth: int = MAX_DEPTH,
+    seed: int = SEED,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Approximate k-NN edge table (src, dst, weight).
+
+    ≙ BuildApproximateNearestNeighborGraph (knn_graph.h:145-162): union of
+    ``repetitions`` recursive sketches, merged + deduped to per-src top-k.
+    """
+    pts0 = points.select("id", "vec").withColumn("bucket", F.lit(0).cast("long"))
+    all_candidates: list[DataFrame] = []
+
+    for rep in range(repetitions):
+        pts = pts0.localCheckpoint(eager=True)
+        for depth in range(max_depth):
+            # localCheckpoint the (tiny) size table: breaks the self-join
+            # lineage between pts and its own aggregate.
+            sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+            big = sizes.where(F.col("n") > max_cluster_size)
+            n_big = big.count()
+            if n_big == 0:
+                break
+            big_pts = pts.join(big.select("bucket"), "bucket", "left_semi")
+            done_pts = pts.join(big.select("bucket"), "bucket", "left_anti")
+            # deterministic per-bucket leader sample: smallest hashes win
+            n_leaders_expr = (
+                F.when(F.lit(depth) == 0, F.lit(top_level_leaders))
+                .otherwise(F.least(F.lit(MAX_LEADERS), F.greatest(F.lit(2), (F.col("n") * LEADER_FRACTION).cast("int"))))
+            )
+            big_sized = big.withColumn("n_leaders", n_leaders_expr).select("bucket", "n_leaders")
+            w = Window.partitionBy("bucket").orderBy(F.xxhash64("id", F.lit(seed + rep), F.lit(depth)))
+            leaders = (
+                big_pts.join(F.broadcast(big_sized), "bucket")
+                .withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= F.col("n_leaders"))
+                .select("bucket", "id", "vec", (F.col("_r") - 1).cast("long").alias("leader_rank"))
+                # leaders derive from big_pts; cogrouping the two without a
+                # lineage break trips the ambiguous-self-join check. Leaders
+                # are ~0.5% of points — cheap to materialize.
+                .localCheckpoint(eager=True)
+            )
+            # fanout>1 only on the first split (knn_graph.h:133 recurses with
+            # fanout=1): duplication is bounded at fanout×n per repetition.
+            level_fanout = fanout if depth == 0 else 1
+            reassigned = _assign_to_leaders(big_pts, _realias(leaders), level_fanout, metric)
+            new_pts = reassigned.join(points.select("id", "vec"), "id").select("id", "vec", "bucket")
+            # Done buckets keep ids < 0, split buckets get fresh ids ≥ 0:
+            # densify every level so path-encoded ids never overflow int64
+            # (the raw encoding would overflow by depth 6). The distinct-
+            # bucket dim table is tiny (≤ |V|/min_bucket).
+            merged = done_pts.select("id", "vec", (-F.col("bucket") - 1).alias("bucket")).unionByName(new_pts)
+            bmap = (
+                merged.select("bucket")
+                .distinct()
+                .withColumn("_nb", (F.dense_rank().over(Window.orderBy("bucket")) - 1).cast("long"))
+                .localCheckpoint(eager=True)  # break self-join lineage with merged
+            )
+            pts = (
+                merged.join(F.broadcast(bmap), "bucket")
+                .select("id", "vec", F.col("_nb").alias("bucket"))
+                .localCheckpoint(eager=True)
+            )
+        pts = _merge_small_buckets(pts).dropDuplicates(["bucket", "id"])
+        all_candidates.append(_bucket_bruteforce(pts.select("bucket", "id", "vec"), k, metric))
+
+    cand = all_candidates[0]
+    for c in all_candidates[1:]:
+        cand = cand.unionByName(c)
+    edges = merge_topk(cand, k)
+    return symmetrize(edges) if symmetric else edges
+
+
+def graph_recall(approx_edges: DataFrame, exact_edges: DataFrame) -> float:
+    """Fraction of exact k-NN edges recovered by the approximate graph
+    (≙ GraphRecall graph_quality_benchmark.cpp:53-66): |A ∩ E| / |E|."""
+    inter = approx_edges.select("src", "dst").join(exact_edges.select("src", "dst"), ["src", "dst"], "left_semi").count()
+    return inter / exact_edges.count()
