@@ -56,12 +56,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     list_transform(generate_series(...)) construction: shingle i joins
     tokens i..i+n-1 with single spaces."""
     toks = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
+    # guard: Spark's sequence(0, x) is DESCENDING for x < 0 — docs shorter
+    # than n tokens must yield an empty shingle set, not garbage.
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -152,31 +153,36 @@ def jaccard_pairs(
     )
 
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per doc: bit j set iff Σ_tokens (2·bit_j(hex64(t))−1) > 0.
+SIMHASH_BITS = 60  # hex64 yields 60 usable bits
+SIMHASH_BAND_BITS = 15  # 4 bands × 15 bits → 32768 buckets per band
 
-    Aggregation-only (explode + 16 sums); md5-derived → oracle-reproducible.
-    Returns (doc_id, simhash).
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc: bit j set iff Σ_tokens (2·bit_j(hex64(t))−1) > 0.
+
+    Aggregation-only (explode + 60 sums, partial+final); md5-derived →
+    oracle-reproducible. Returns (doc_id, simhash BIGINT).
     """
     tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
     h = tok.withColumn("x", hex64(F.col("tok")))
     sums = h.groupBy("doc_id").agg(
         *[
             F.sum(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
-            for j in range(16)
+            for j in range(SIMHASH_BITS)
         ]
     )
     sim = None
-    for j in range(16):
+    for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return sums.select("doc_id", sim.cast("int").alias("simhash"))
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_near_pairs(sims: DataFrame, band_bits: int = 4) -> DataFrame:
-    """Candidate near-dups: equal ``band_bits``-bit band of the simhash
-    (equi-join per band — scale path for hamming-distance search)."""
-    n_bands = 16 // band_bits
+def simhash_near_pairs(sims: DataFrame, band_bits: int = SIMHASH_BAND_BITS) -> DataFrame:
+    """Candidate near-dups: equal ``band_bits``-bit band of the simhash —
+    equi-join per band, the scale path for hamming-distance search (docs
+    within hamming distance < n_bands share ≥1 band by pigeonhole)."""
+    n_bands = SIMHASH_BITS // band_bits
     bands = F.array(
         *[
             F.concat_ws(

@@ -62,10 +62,10 @@ def test_jaccard_pairs(spark):
 
 
 def test_simhash_and_bands(spark):
-    sims = D.simhash16(docs_df(spark))
+    sims = D.simhash(docs_df(spark))
     vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
     assert vals[0] == vals[2]  # identical text → identical simhash
-    assert all(0 <= v < 65536 for v in vals.values())
+    assert all(0 <= v < (1 << 60) for v in vals.values())
     pairs = {(r["doc_a"], r["doc_b"]) for r in D.simhash_near_pairs(sims).collect()}
     assert (0, 2) in pairs
 
