@@ -1,0 +1,125 @@
+"""Headline benchmark: times the engine's flagship operators at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The query set mirrors the reference's experiment pipeline
+(run_query_attribution.cpp): build the k-NN edge table, partition it, run
+the graph witnesses (PageRank/CC/triangles), route + probe + recall curve,
+plus the corpus-side dedup/text stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gp_ann_spark.eval import recall as R
+from gp_ann_spark.operators import dedup as DD
+from gp_ann_spark.operators import graph as G
+from gp_ann_spark.operators import knn as KNN
+from gp_ann_spark.operators import knn_approx as KA
+from gp_ann_spark.operators import partition as P
+from gp_ann_spark.operators import routing as RT
+from gp_ann_spark.operators import text_analysis as TA
+from gp_ann_spark.session import get_spark
+
+K = 10
+NUM_SHARDS = 16
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("gp_ann_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    points = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .repartition(cpus)
+        .cache()
+    )
+    n_points = points.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
+    docs.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    state: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. exact k-NN edge table (oracle path, broadcast top-k scoring)
+    state["edges"] = timed(
+        "build_knn_edges_exact",
+        lambda: KNN.symmetrize(KNN.knn_edges(points, k=K)).localCheckpoint(eager=True),
+    )
+    # 2. approximate builder (the 10^12-scale path)
+    timed(
+        "build_knn_edges_approx",
+        lambda: KA.build_knn_graph(
+            points, k=K, max_cluster_size=500, top_level_leaders=max(8, n_points // 250), repetitions=3
+        ).count(),
+    )
+    edges = state["edges"]
+    # 3-5. graph witnesses
+    timed("pagerank_15it", lambda: G.pagerank(edges, tol=0.0, max_iter=15).count())
+    timed("connected_components", lambda: G.connected_components(edges).count())
+    timed("triangle_count", lambda: G.triangle_count(edges).collect())
+    # 6. multilevel graph partition + balance
+    asn = timed(
+        "graph_partition",
+        lambda: P.graph_partition(edges, num_shards=NUM_SHARDS, coarse_target=256).localCheckpoint(eager=True),
+    )
+    extra["imbalance"] = round(P.imbalance(asn, NUM_SHARDS), 4)
+    # 7. route + probe + recall curve (1000-query batch, ≙ eval harness)
+    qs = points.select(F.col("id").alias("query_id"), "vec").limit(min(1000, n_points)).localCheckpoint(eager=True)
+    nq = qs.count()
+    gt = R.ground_truth(points, qs, k=K).localCheckpoint(eager=True)
+
+    def route_and_eval():
+        routes = RT.centroid_router(qs, points, asn)
+        curve = R.recall_vs_probes(gt, asn, routes, K, nq).orderBy("nprobes").collect()
+        return curve
+
+    curve = timed("route_recall_curve", route_and_eval)
+    for row in curve[:4]:
+        extra[f"recall@{K}_probes{row['nprobes']}"] = round(row["recall"], 4)
+    # 8-9. corpus-side stages
+    timed("minhash_lsh_pairs", lambda: DD.minhash_band_pairs(DD.minhash_signatures(docs)).count())
+    timed(
+        "text_quality_lang",
+        lambda: TA.quality_features(docs).join(TA.language_id(docs), "doc_id").count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "gp_ann_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {**extra, "n_points": n_points, "cpus": cpus},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
