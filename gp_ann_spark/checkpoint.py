@@ -25,11 +25,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the storage of a localCheckpoint'ed DataFrame.
+
+    Iterative loops create one checkpoint per superstep; without explicit
+    release the cached RDD blocks accumulate until the context cleaner
+    eventually notices, and long loops degrade badly under the memory
+    pressure. Safe to call once the successor state is materialized.
+    """
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort resource cleanup
+        pass
+
+
+def swap_checkpoint(new_df: DataFrame, prev_df: DataFrame | None = None) -> DataFrame:
+    """Materialize ``new_df`` as a localCheckpoint, then release ``prev_df``.
+
+    The standard superstep state swap: lineage truncated, old blocks freed,
+    bounded memory no matter how many supersteps run.
+    """
+    out = new_df.localCheckpoint(eager=True)
+    release_local_checkpoint(prev_df)
+    return out
+
+
 @dataclass
 class SuperstepCheckpointer:
     base_dir: str | None
     name: str = "state"
     history: list[dict[str, Any]] = field(default_factory=list)
+    _prev: DataFrame | None = None
 
     def _dir(self, superstep: int) -> str:
         assert self.base_dir is not None
@@ -48,7 +78,8 @@ class SuperstepCheckpointer:
         no resumability) — the fast path for tests/bench.
         """
         if self.base_dir is None:
-            out = df.localCheckpoint(eager=True)
+            out = swap_checkpoint(df, self._prev)
+            self._prev = out
             self.history.append({"superstep": superstep, **(metrics or {})})
             return out
         path = self._dir(superstep)

@@ -64,7 +64,12 @@ def dense_ids(df: DataFrame, order_col: str = "sha256", scalable: bool = True) -
 
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     parted = df.repartitionByRange(n_parts, F.col(order_col)).sortWithinPartitions(order_col)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # Materialize ONCE before branching: repartitionByRange samples its
+    # boundaries per evaluation, so the counts pass and the rank pass would
+    # otherwise see different partition layouts (dropping/duplicating rows
+    # in the offset join). At extreme scale swap localCheckpoint for a
+    # parquet/Iceberg checkpoint — the barrier is what matters.
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     # Small aggregate (one row per partition) → broadcast prefix sums.
     counts = with_pid.groupBy("_pid").count()
     offsets = counts.withColumn(

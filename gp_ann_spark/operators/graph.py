@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gp_ann_spark.checkpoint import SuperstepCheckpointer
+from gp_ann_spark.checkpoint import SuperstepCheckpointer, release_local_checkpoint, swap_checkpoint
 
 
 def vertices(edges: DataFrame) -> DataFrame:
@@ -60,7 +60,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     checkpointer: SuperstepCheckpointer | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge table.
 
@@ -71,10 +71,15 @@ def pagerank(
     Per-superstep plan: broadcast-able vertex state joins the pre-partitioned
     edge table on src, then one partial+final sum by dst — the only shuffle
     that moves data proportional to |E| happened once at setup.
+
+    ``tol <= 0`` selects fixed-iteration mode: no per-superstep convergence
+    action at all (supersteps pipeline lazily between checkpoints — at scale
+    the per-iteration driver round-trips are pure overhead).
     """
     spark = edges.sparkSession
     cp = checkpointer or SuperstepCheckpointer(None, "pagerank")
-    verts = vertices(edges)
+    fixed_iters = tol <= 0.0
+    verts = vertices(edges).cache()
     n = verts.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Pre-join degree into the edge table once; repartition on src so each
@@ -112,6 +117,13 @@ def pagerank(
             verts.join(contrib, verts.id == contrib.dst, "left")
             .select("id", (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pagerank"))
         )
+        if fixed_iters:
+            # no convergence action; truncate lineage only every few steps
+            if it % checkpoint_every == 0 or it == max_iter:
+                ranks = cp.save(new_ranks, it, {"delta": None})
+            else:
+                ranks = new_ranks
+            continue
         delta = (
             new_ranks.join(ranks.withColumnRenamed("pagerank", "old"), "id")
             .agg(F.max(F.abs(F.col("pagerank") - F.col("old"))).alias("d"))
@@ -120,11 +132,14 @@ def pagerank(
         if it % checkpoint_every == 0 or delta < tol:
             ranks = cp.save(new_ranks, it, {"delta": float(delta)})
         else:
-            ranks = new_ranks.localCheckpoint(eager=True)
+            # must break lineage here: next iter joins new_ranks with its
+            # own ancestor (delta) → ambiguous-self-join otherwise
+            ranks = swap_checkpoint(new_ranks, ranks)
         if delta < tol:
             break
     e.unpersist()
     dangling.unpersist()
+    verts.unpersist()
     return ranks.withColumn("n_iter", F.lit(n_iter))
 
 

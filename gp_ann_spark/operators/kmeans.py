@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
 from gp_ann_spark.functions.distances import distance_matrix
 
 SEED = 555  # the reference's algorithm seed (kmeans.cpp:19 via partition.cpp:14)
@@ -215,15 +216,15 @@ def capacity_fill(
         if n_new == 0:
             break
         placed = chosen if placed is None else placed.unionByName(chosen)
-        remaining = remaining.join(chosen.select(id_col), id_col, "left_anti").localCheckpoint(eager=True)
+        remaining = swap_checkpoint(remaining.join(chosen.select(id_col), id_col, "left_anti"), remaining if _ > 0 else None)
         if remaining.limit(1).count() == 0:
             break
         used = chosen.groupBy(shard_col).agg(F.count(F.lit(1)).alias("_u"))
-        caps = (
+        caps = swap_checkpoint(
             caps.join(used, shard_col, "left")
             .select(shard_col, (F.col("cap") - F.coalesce("_u", F.lit(0))).alias("cap"))
-            .where(F.col("cap") > 0)
-            .localCheckpoint(eager=True)
+            .where(F.col("cap") > 0),
+            caps,
         )
         if caps.limit(1).count() == 0:
             break
@@ -283,8 +284,9 @@ def balanced_lloyd(
             [(int(s), int(c)) for s, c in room.items()], "shard int, cap int"
         )
         placed = capacity_fill(rated, caps)
-        assignment = keep.select("id", "shard", "dist").unionByName(placed.select("id", "shard", "dist"))
-        assignment = assignment.localCheckpoint(eager=True)
+        assignment = swap_checkpoint(
+            keep.select("id", "shard", "dist").unionByName(placed.select("id", "shard", "dist")), assignment
+        )
 
     return centroids[:k_eff], assignment.select("id", "shard")
 

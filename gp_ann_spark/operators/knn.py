@@ -79,12 +79,18 @@ def exact_knn(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_vecs = bc.value
+        # cap the per-matmul block so the (block × n_queries) distance
+        # matrix stays ~64 MB regardless of Arrow batch sizing
+        chunk = max(256, (8 << 20) // max(len(b_ids), 1))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            yield _topk_within_block(ids, vecs, b_ids, b_vecs, k, metric, exclude_self)
+            for lo in range(0, len(ids), chunk):
+                yield _topk_within_block(
+                    ids[lo : lo + chunk], vecs[lo : lo + chunk], b_ids, b_vecs, k, metric, exclude_self
+                )
 
     partial = points.select(id_col, vec_col).mapInPandas(score, schema=KNN_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
 from gp_ann_spark.operators.knn import merge_topk, symmetrize
 
 # Reference hyperparameters (knn_graph.h:254-265)
@@ -203,11 +204,12 @@ def build_knn_graph(
                 .withColumn("_nb", (F.dense_rank().over(Window.orderBy("bucket")) - 1).cast("long"))
                 .localCheckpoint(eager=True)  # break self-join lineage with merged
             )
-            pts = (
-                merged.join(F.broadcast(bmap), "bucket")
-                .select("id", "vec", F.col("_nb").alias("bucket"))
-                .localCheckpoint(eager=True)
+            pts = swap_checkpoint(
+                merged.join(F.broadcast(bmap), "bucket").select("id", "vec", F.col("_nb").alias("bucket")),
+                pts,
             )
+            for aux in (sizes, leaders, bmap):
+                release_local_checkpoint(aux)
         pts = _merge_small_buckets(pts).dropDuplicates(["bucket", "id"])
         all_candidates.append(_bucket_bruteforce(pts.select("bucket", "id", "vec"), k, metric))
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gp_ann_spark.operators import kmeans as KM
+from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
 from gp_ann_spark.operators.graph import vertices
 
 SEED = KM.SEED
@@ -87,7 +88,7 @@ def recursive_kmeans_partition(
         acc = pieces[0]
         for p in pieces[1:]:
             acc = acc.unionByName(p)
-        assignment = acc.localCheckpoint(eager=True)
+        assignment = swap_checkpoint(acc, assignment)
     return remap_shard_ids(assignment)
 
 
@@ -153,7 +154,7 @@ def _lp_coarsen_level(edges: DataFrame, weights: DataFrame, cap: int, rounds: in
         gated = cand.withColumn("_cum", F.sum("w").over(w_cap)).withColumn(
             "label", F.when(F.col("_cum") <= cap, F.col("cand")).otherwise(F.col("label"))
         )
-        labels = gated.select("id", "label", "w").localCheckpoint(eager=True)
+        labels = swap_checkpoint(gated.select("id", "label", "w"), labels if _ > 0 else None)
     return labels.select("id", "label")
 
 
@@ -183,18 +184,16 @@ def coarsen_graph(
         maps.append(lab.localCheckpoint(eager=True))
         lmap_src = lab.select(F.col("id").alias("src"), F.col("label").alias("nsrc"))
         lmap_dst = lab.select(F.col("id").alias("dst"), F.col("label").alias("ndst"))
-        cur_edges = (
+        cur_edges = swap_checkpoint(
             cur_edges.join(lmap_src, "src").join(lmap_dst, "dst")
             .where(F.col("nsrc") != F.col("ndst"))
             .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
-            .agg(F.sum("weight").alias("weight"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("weight").alias("weight")),
+            cur_edges,
         )
-        cur_w = (
-            cur_w.join(lab, "id")
-            .groupBy(F.col("label").alias("id"))
-            .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
+        cur_w = swap_checkpoint(
+            cur_w.join(lab, "id").groupBy(F.col("label").alias("id")).agg(F.sum("w").alias("w")),
+            cur_w,
         )
         n = n_new
     return maps, cur_edges, cur_w
@@ -306,10 +305,10 @@ def refine_partition(
             .select("id", F.col("cand").alias("new_shard"))
         )
         n_moved = movers.count()
-        asn = (
+        asn = swap_checkpoint(
             asn.join(movers, "id", "left")
-            .select("id", F.coalesce(F.col("new_shard"), F.col("shard")).cast("int").alias("shard"))
-            .localCheckpoint(eager=True)
+            .select("id", F.coalesce(F.col("new_shard"), F.col("shard")).cast("int").alias("shard")),
+            asn,
         )
         if n_moved == 0:
             break
@@ -402,5 +401,5 @@ def overlapping_partition(
         if n_moves == 0:
             break
         budget -= n_moves
-        cover = cover.unionByName(moves).localCheckpoint(eager=True)
+        cover = swap_checkpoint(cover.unionByName(moves), cover)
     return cover

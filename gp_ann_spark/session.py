@@ -27,6 +27,11 @@ _ENGINE_CONF = {
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # local mode: the driver JVM IS the executor — give it real heap
+    # (only effective for the first session of a process; harness runs
+    # each parallelism level in its own subprocess).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "8g",
 }
 
 

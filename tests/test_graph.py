@@ -126,13 +126,13 @@ def test_pagerank_checkpoint_resume(spark, tmp_path):
 
     cp_dir = str(tmp_path / "cp")
     cp1 = SuperstepCheckpointer(cp_dir, "pr")
-    G.pagerank(edges, tol=1e-8, max_iter=3, checkpointer=cp1)  # "killed" at t=3
+    G.pagerank(edges, tol=1e-8, max_iter=3, checkpointer=cp1, checkpoint_every=1)  # "killed" at t=3
     assert cp1.latest() == 3
     meta = cp1.load_meta(3)
     assert meta["rows"] == 10 and meta["partitions"]  # per-partition lineage
 
     cp2 = SuperstepCheckpointer(cp_dir, "pr")
-    resumed = G.pagerank(edges, tol=1e-8, checkpointer=cp2)
+    resumed = G.pagerank(edges, tol=1e-8, checkpointer=cp2, checkpoint_every=1)
     got = {r["id"]: r["pagerank"] for r in resumed.collect()}
     assert resumed.select("n_iter").first()["n_iter"] > 3
     for v in ref:

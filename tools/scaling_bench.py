@@ -1,0 +1,132 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+No multi-node cluster exists in this sandbox, so the N → 4N-executor
+criterion is evidenced by running identical jobs on identical inputs at
+``local[8]`` and ``local[32]`` and reporting throughput at both plus
+scaling efficiency ``eff = T_8 / (4 × T_32)`` (target ≥ 0.8).
+
+Workloads are sized so per-task compute dominates scheduling overhead —
+the regime a real cluster operates in:
+
+1. **featurize**: corpus → sha256 dedup → hash-ngram featurizer over
+   ~120k generated repo rows (explode/groupBy shuffle-bound), rows/s;
+2. **knn_queries**: broadcast top-k scoring of 4k queries against 120k
+   points (BLAS-bound mapInPandas), queries/s;
+3. **pagerank**: 8 supersteps over a ~1.2M-edge synthetic graph
+   (join+agg shuffle-bound), edge-traversals/s.
+
+Usage:  python tools/scaling_bench.py            # run both levels + report
+        python tools/scaling_bench.py --stage 8  # one level (subprocess)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = 120_000
+N_QUERIES = 4_000
+N_EDGES_V = 120_000
+PR_ITERS = 8
+
+
+def synthetic_points(spark, n, dim=64, seed=7):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.pmod(F.xxhash64("id", i, F.lit(seed)), F.lit(2000)) - 1000) / 1000.0).cast("float"),
+        ).alias("vec"),
+    )
+
+
+REPS = 2
+
+
+def run_stage(cpus: int) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from gp_ann_spark.corpus import generate_repos, repos_to_points
+    from gp_ann_spark.operators import graph as G
+    from gp_ann_spark.operators import knn as KNN
+    from gp_ann_spark.session import get_spark
+
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    out: dict[str, float] = {"cpus": cpus}
+
+    def timed_min(fn):
+        """min over REPS — strips JVM warmup + machine noise."""
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    # warmup: JVM codegen + spawn the Python worker pool for Arrow UDFs
+    spark.range(10_000_000).agg(F.sum("id")).collect()
+    wpts = synthetic_points(spark, 5_000).repartition(cpus).cache()
+    KNN.exact_knn(wpts, wpts.select(F.col("id").alias("query_id"), "vec").limit(100), k=5).count()
+    wpts.unpersist()
+
+    # 1. corpus featurization
+    repos = generate_repos(spark, N_ROWS, n_parts=cpus * 2)
+    n_pts = repos_to_points(repos).count()
+    out["featurize_sec"] = timed_min(lambda: repos_to_points(repos).count())
+    out["featurize_rows_per_s"] = N_ROWS / out["featurize_sec"]
+
+    # 2. knn query throughput (broadcast top-k scoring)
+    pts = synthetic_points(spark, N_ROWS).repartition(cpus * 2).cache()
+    pts.count()
+    qs = synthetic_points(spark, N_QUERIES, seed=99).select(F.col("id").alias("query_id"), "vec")
+    out["knn_sec"] = timed_min(lambda: KNN.exact_knn(pts, qs, k=10).count())
+    out["knn_queries_per_s"] = N_QUERIES / out["knn_sec"]
+
+    # 3. pagerank supersteps on a synthetic power-law-ish graph
+    edges = (
+        spark.range(N_EDGES_V * 10)
+        .select(
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_EDGES_V))).alias("src"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(N_EDGES_V)) + 1)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .repartition(cpus * 2)
+        .cache()
+    )
+    n_edges = edges.count()
+    out["pagerank_sec"] = timed_min(lambda: G.pagerank(edges, tol=0.0, max_iter=PR_ITERS).count())
+    out["pagerank_edge_traversals_per_s"] = n_edges * PR_ITERS / out["pagerank_sec"]
+    out["n_points"] = n_pts
+    out["n_edges"] = n_edges
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--stage":
+        print("RESULT " + json.dumps(run_stage(int(sys.argv[2]))))
+        return
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", str(cpus)],
+            capture_output=True, text=True, timeout=1800, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
+        results[cpus] = json.loads(line[len("RESULT "):])
+    report = {"levels": results, "efficiency": {}}
+    for metric in ("featurize_sec", "knn_sec", "pagerank_sec"):
+        t8, t32 = results[8][metric], results[32][metric]
+        report["efficiency"][metric.replace("_sec", "")] = round(t8 / (4 * t32), 3)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
