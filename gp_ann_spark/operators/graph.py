@@ -106,16 +106,19 @@ def pagerank(
             dangling_mass = (
                 ranks.join(dangling.select("id"), "id", "left_semi").agg(F.sum("pagerank")).collect()[0][0] or 0.0
             )
-        contrib = (
-            ranks.join(e, ranks.id == e.src)
-            .select("dst", (F.col("pagerank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
         base = (1.0 - damping) / n + damping * dangling_mass / n
+        # one shuffle per superstep: contributions ∪ zero-rows-for-all-verts
+        # → a single partial/final sum by id (replaces groupBy(dst) + a
+        # second left-join-with-verts shuffle)
+        contrib_rows = (
+            ranks.join(e, ranks.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("pagerank") / F.col("outdeg")).alias("c"))
+        )
+        zero_rows = verts.select("id", F.lit(0.0).alias("c"))
         new_ranks = (
-            verts.join(contrib, verts.id == contrib.dst, "left")
-            .select("id", (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pagerank"))
+            contrib_rows.unionByName(zero_rows)
+            .groupBy("id")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pagerank"))
         )
         if fixed_iters:
             # no convergence action; truncate lineage only every few steps

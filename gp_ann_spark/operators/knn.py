@@ -82,15 +82,35 @@ def exact_knn(
         # cap the per-matmul block so the (block × n_queries) distance
         # matrix stays ~64 MB regardless of Arrow batch sizing
         chunk = max(256, (8 << 20) // max(len(b_ids), 1))
+        # Accumulate the running top-k per query across the WHOLE task and
+        # emit once: the downstream merge then sees n_tasks×nq×k rows, not
+        # n_chunks×nq×k (at 600k points that is an 8× smaller shuffle —
+        # this map-side combine is what makes the merge scale).
+        acc: pd.DataFrame | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             for lo in range(0, len(ids), chunk):
-                yield _topk_within_block(
+                part = _topk_within_block(
                     ids[lo : lo + chunk], vecs[lo : lo + chunk], b_ids, b_vecs, k, metric, exclude_self
                 )
+                acc = part if acc is None else pd.concat((acc, part), ignore_index=True)
+                if len(acc) > 4 * k * len(b_ids):
+                    acc = (
+                        acc.sort_values(["query_id", "dist", "neighbor_id"], kind="stable")
+                        .groupby("query_id", sort=False)
+                        .head(k)
+                        .reset_index(drop=True)
+                    )
+        if acc is not None:
+            yield (
+                acc.sort_values(["query_id", "dist", "neighbor_id"], kind="stable")
+                .groupby("query_id", sort=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
 
     partial = points.select(id_col, vec_col).mapInPandas(score, schema=KNN_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())

@@ -9,10 +9,10 @@ Workloads are sized so per-task compute dominates scheduling overhead —
 the regime a real cluster operates in:
 
 1. **featurize**: corpus → sha256 dedup → hash-ngram featurizer over
-   ~120k generated repo rows (explode/groupBy shuffle-bound), rows/s;
+   ~550k generated repo rows (600k raw) (explode/groupBy shuffle-bound), rows/s;
 2. **knn_queries**: broadcast top-k scoring of 4k queries against 120k
    points (BLAS-bound mapInPandas), queries/s;
-3. **pagerank**: 8 supersteps over a ~1.2M-edge synthetic graph
+3. **pagerank**: 8 supersteps over a ~6M-edge synthetic graph
    (join+agg shuffle-bound), edge-traversals/s.
 
 Usage:  python tools/scaling_bench.py            # run both levels + report
@@ -29,10 +29,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_ROWS = 120_000
-N_QUERIES = 4_000
-N_EDGES_V = 120_000
-PR_ITERS = 8
+N_ROWS = 600_000
+N_QUERIES = 8_000
+N_EDGES_V = 600_000
+PR_ITERS = 6
 
 
 def synthetic_points(spark, n, dim=64, seed=7):
@@ -47,7 +47,7 @@ def synthetic_points(spark, n, dim=64, seed=7):
     )
 
 
-REPS = 2
+REPS = 3
 
 
 def run_stage(cpus: int) -> dict[str, float]:
