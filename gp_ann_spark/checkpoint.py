@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def realias(df: DataFrame) -> DataFrame:
+    """Fresh exprIds for every column. localCheckpoint keeps the original
+    attribute ids, so joining/cogrouping a frame with its own derivation
+    trips Spark's ambiguous-self-join check; a trivial re-alias fixes it."""
+    from pyspark.sql import functions as F
+
+    return df.select([F.col(c).alias(c) for c in df.columns])
+
+
 def release_local_checkpoint(df: DataFrame | None) -> None:
     """Free the storage of a localCheckpoint'ed DataFrame.
 

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.checkpoint import realias as _realias
 from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
 from gp_ann_spark.operators.knn import merge_topk, symmetrize
 
@@ -50,13 +51,6 @@ MAX_MERGED_CLUSTER_SIZE = 2500
 MAX_DEPTH = 14
 REPETITIONS = 3
 SEED = 555
-
-
-def _realias(df: DataFrame) -> DataFrame:
-    """Fresh exprIds for every column (localCheckpoint keeps the originals,
-    which trips the ambiguous-self-join check when cogrouping a frame with
-    its own derivation)."""
-    return df.select([F.col(c).alias(c) for c in df.columns])
 
 
 def _assign_to_leaders(

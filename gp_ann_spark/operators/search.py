@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.checkpoint import realias
 from gp_ann_spark.functions.distances import distance_matrix
 
 
@@ -77,7 +78,7 @@ def probe_shards(
             }
         )
 
-    return sharded_points.groupBy("shard").cogroup(probe_q.groupBy("shard")).applyInPandas(
+    return sharded_points.groupBy("shard").cogroup(realias(probe_q).groupBy("shard")).applyInPandas(
         search, schema="query_id long, shard int, probe_rank int, neighbor_id long, dist double"
     )
 

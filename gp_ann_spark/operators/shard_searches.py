@@ -1,0 +1,182 @@
+"""Per-shard search sweeps with timing, serialization, and the QPS model.
+
+Reference: ``src/shard_searches.cpp`` (``RunInShardSearches`` :11-104 — per
+shard, per ef_search: timed query sweep, median of 5 reps),
+``SerializeShardSearches``/``Deserialize`` (:108-244),
+``src/route_search_combination.cpp`` (:121-226 — combine routes × searches,
+simulated QPS with greedy replica assignment, Pareto front).
+
+Spark-first: one cogrouped ``applyInPandas`` per shard executes every query
+probing it and reports wall time per (shard, query) batch from inside the
+task (real executor-side timings — the distributed analogue of the
+reference's per-shard timers). The ef_search sweep collapses to a single
+exact search (SURVEY §2.10: in-shard HNSW is an approximation of this exact
+operator; recall semantics are anchored to exact oracles). Serialization is
+Parquet round-trips of the ``routes`` / ``shard_results`` relations.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gp_ann_spark.checkpoint import realias
+from gp_ann_spark.functions.distances import distance_matrix
+
+
+def run_in_shard_searches(
+    sharded_points: DataFrame,
+    queries: DataFrame,
+    routes: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    reps: int = 3,
+) -> DataFrame:
+    """Timed in-shard searches for every (query, shard) probe pair.
+
+    Returns ``shard_results(shard, query_id, probe_rank, neighbors
+    ARRAY<BIGINT>, time_s DOUBLE)`` — time_s is the per-query share of the
+    in-task median-of-``reps`` batch time (≙ the median-of-5 protocol,
+    shard_searches.cpp:57-68).
+    """
+    probe_q = routes.join(queries.select("query_id", "vec"), "query_id").select(
+        "shard", "query_id", "probe_rank", "vec"
+    )
+
+    def search(points_pdf: pd.DataFrame, queries_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"shard": [], "query_id": [], "probe_rank": [], "neighbors": [], "time_s": []}).astype(
+            {"shard": "int32", "query_id": "int64", "probe_rank": "int32", "time_s": "float64"}, errors="ignore"
+        )
+        if len(points_pdf) == 0 or len(queries_pdf) == 0:
+            return empty
+        X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
+        ids = points_pdf["id"].to_numpy()
+        Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            d = distance_matrix(Q, X, metric)
+            kk = min(k, d.shape[1])
+            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1)
+            order = np.take_along_axis(d, idx, axis=1).argsort(axis=1, kind="stable")
+            idx = np.take_along_axis(idx, order, axis=1)
+            times.append(time.perf_counter() - t0)
+        per_query = float(np.median(times)) / len(Q)
+        return pd.DataFrame(
+            {
+                "shard": np.int32(points_pdf["shard"].iloc[0]),
+                "query_id": queries_pdf["query_id"].to_numpy(),
+                "probe_rank": queries_pdf["probe_rank"].to_numpy().astype(np.int32),
+                "neighbors": [ids[idx[i]].tolist() for i in range(len(Q))],
+                "time_s": per_query,
+            }
+        )
+
+    return sharded_points.groupBy("shard").cogroup(realias(probe_q).groupBy("shard")).applyInPandas(
+        search,
+        schema="shard int, query_id long, probe_rank int, neighbors array<bigint>, time_s double",
+    )
+
+
+def serialize_shard_searches(shard_results: DataFrame, path: str) -> None:
+    """≙ SerializeShardSearches (shard_searches.cpp:108-158) — Parquet."""
+    shard_results.write.mode("overwrite").parquet(path)
+
+
+def deserialize_shard_searches(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def serialize_routes(routes: DataFrame, path: str) -> None:
+    """≙ SerializeRoutes (routes.cpp:317-352) — Parquet of the
+    (query_id, shard, probe_rank) relation."""
+    routes.write.mode("overwrite").parquet(path)
+
+
+def deserialize_routes(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# ----------------------------------------------------------- QPS simulation
+def simulate_qps(
+    shard_results: DataFrame,
+    nprobes: int,
+    n_queries: int,
+    routing_time_s: float = 0.0,
+    num_hosts: int | None = None,
+    extra_hosts: int = 20,
+) -> dict:
+    """The reference's throughput model (route_search_combination.cpp:149-183):
+
+    per-shard work = Σ time of queries probing it (first ``nprobes`` probes);
+    shards are assigned to hosts greedily (heaviest shard → least-loaded
+    host), replicas up to ``num_shards + extra_hosts`` hosts;
+    QPS = n_queries / (max host load + routing_time / num_hosts).
+
+    Runs driver-side on the (tiny) per-shard aggregate — same as the
+    reference, which post-processes in memory.
+    """
+    agg = (
+        shard_results.where(F.col("probe_rank") <= nprobes)
+        .groupBy("shard")
+        .agg(F.sum("time_s").alias("work"))
+        .collect()
+    )
+    work = {int(r["shard"]): float(r["work"]) for r in agg}
+    if not work:
+        return {"qps": 0.0, "hosts": 0, "max_host_load": 0.0}
+    s = len(work)
+    hosts_n = num_hosts or (s + extra_hosts)
+    # greedy replica assignment: repeatedly split the heaviest load
+    loads = sorted(work.values(), reverse=True)
+    replicas = {i: 1 for i in range(len(loads))}
+    budget = hosts_n - len(loads)
+    while budget > 0:
+        eff = [(loads[i] / replicas[i], i) for i in range(len(loads))]
+        _, i = max(eff)
+        replicas[i] += 1
+        budget -= 1
+    max_load = max(loads[i] / replicas[i] for i in range(len(loads)))
+    qps = n_queries / (max_load + routing_time_s / hosts_n) if (max_load + routing_time_s) > 0 else float("inf")
+    return {"qps": qps, "hosts": hosts_n, "max_host_load": max_load}
+
+
+def recall_qps_grid(
+    shard_results: DataFrame,
+    gt: DataFrame,
+    k: int,
+    n_queries: int,
+    nprobes_values: Iterable[int],
+) -> pd.DataFrame:
+    """(nprobes, recall, qps) grid + Pareto flag (≙ the combination sweep,
+    route_search_combination.cpp:121-226). Small output → pandas."""
+    rows = []
+    exploded = shard_results.select(
+        "query_id", "probe_rank", F.explode("neighbors").alias("neighbor_id")
+    ).localCheckpoint(eager=True)
+    gt_pairs = gt.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    for p in nprobes_values:
+        found = (
+            exploded.where(F.col("probe_rank") <= p)
+            .join(gt_pairs, ["query_id", "neighbor_id"], "left_semi")
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .count()
+        )
+        recall = found / (n_queries * k)
+        qps = simulate_qps(shard_results, p, n_queries)["qps"]
+        rows.append({"nprobes": p, "recall": recall, "qps": qps})
+    df = pd.DataFrame(rows)
+    # Pareto: not dominated in (recall, qps)
+    df["pareto"] = [
+        not any((o["recall"] >= r["recall"]) and (o["qps"] > r["qps"]) or
+                (o["recall"] > r["recall"]) and (o["qps"] >= r["qps"])
+                for _, o in df.iterrows())
+        for _, r in df.iterrows()
+    ]
+    return df
