@@ -403,3 +403,43 @@ def overlapping_partition(
         budget -= n_moves
         cover = swap_checkpoint(cover.unionByName(moves), cover)
     return cover
+
+
+def overlapping_kmeans_partition(
+    points: DataFrame,
+    assignment: DataFrame,
+    centroids,
+    overlap: float = 0.2,
+    eps: float = 0.05,
+    metric: str = "l2",
+) -> DataFrame:
+    """SPANN-style overlap from centroid ratings (≙
+    MakeOverlappingWithCentroids / OverlappingKMeansPartitioningSPANN,
+    overlapping_partitioning.cpp:143-235): rate every point against every
+    *external* centroid, sort all ratings globally by distance, greedily
+    append (id, shard) cover rows under per-shard capacity until the o·n
+    budget is spent. The global sort + greedy fill is ``capacity_fill`` with
+    a global budget window on top. Returns the cover relation.
+    """
+    n = assignment.select("id").distinct().count()
+    s = int(len(centroids))
+    budget = int(overlap * n)
+    if budget <= 0:
+        return assignment.select("id", "shard")
+    cap_total = max_cluster_size(n, s, eps) + int(np.ceil(budget / s))
+    rated = KM.assign_all_candidates(points, centroids, metric)
+    external = rated.withColumnRenamed("cand", "shard").join(
+        assignment.select("id", "shard"), ["id", "shard"], "left_anti"
+    )
+    w_glob = Window.orderBy(F.col("dist").asc(), F.col("id").asc())
+    top_rated = external.withColumn("_g", F.row_number().over(w_glob)).where(F.col("_g") <= budget).drop("_g")
+    sizes = assignment.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    room = sizes.select("shard", (F.lit(cap_total) - F.col("cnt")).cast("long").alias("cap"))
+    w_cap = Window.partitionBy("shard").orderBy(F.col("dist").asc(), F.col("id").asc())
+    extras = (
+        top_rated.join(F.broadcast(room), "shard")
+        .withColumn("_fill", F.row_number().over(w_cap))
+        .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
+        .select("id", "shard")
+    )
+    return assignment.select("id", "shard").unionByName(extras)

@@ -96,3 +96,17 @@ def test_overlapping_partition_budget_and_cover(spark):
     # the bridge endpoints have the highest cross-affinity → duplicated first
     extras = cover.exceptAll(base).collect()
     assert {4, 10} <= {r["id"] for r in extras}
+
+
+def test_overlapping_kmeans_partition(spark, rng):
+    from gp_ann_spark.operators import kmeans as KM
+
+    X = np.vstack([rng.normal(c, 0.3, size=(40, 6)) for c in (np.zeros(6), np.ones(6) * 4, np.ones(6) * 8)])
+    pts = make_points_df(spark, X).cache()
+    cents, asn = KM.lloyd(pts, 3, n_iter=6)
+    asn = asn.localCheckpoint(eager=True)
+    cover = P.overlapping_kmeans_partition(pts, asn, cents, overlap=0.25)
+    n_extra = cover.count() - 120
+    assert 0 < n_extra <= 30  # budget = 0.25 * 120
+    assert cover.distinct().count() == cover.count()
+    assert asn.exceptAll(cover).count() == 0
