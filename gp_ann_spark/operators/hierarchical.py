@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gp_ann_spark.checkpoint import swap_checkpoint
@@ -84,7 +84,7 @@ def hierarchical_kmeans(
 
     # densify leaf ids + centroids (partial/final mean via shard_centroids)
     dense = asn.select("leaf").distinct().withColumn(
-        "_n", F.row_number().over(__import__("pyspark").sql.Window.orderBy("leaf")) - 1
+        "_n", F.row_number().over(Window.orderBy("leaf")) - 1
     )
     asn = asn.join(F.broadcast(dense), "leaf").select("id", F.col("_n").cast("long").alias("leaf"))
     from gp_ann_spark.operators.routing import shard_centroids

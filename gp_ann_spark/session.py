@@ -47,6 +47,12 @@ def get_spark(
     ``shuffle_partitions`` defaults to the core count — on a real cluster
     pass explicit values.
     """
+    # One BLAS thread per Python worker: Spark already runs one worker per
+    # core, so letting OpenBLAS spawn its own thread pool inside each worker
+    # oversubscribes the box N× and wrecks Arrow-UDF scaling.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gp_ann_spark.eval import recall as R
@@ -92,7 +93,7 @@ def test_kmeans_tree_router_beats_random_first_shard(spark, setup):
     rand_routes = (
         queries.select("query_id").crossJoin(spark.range(4).select(F.col("id").cast("int").alias("shard")))
         .withColumn("probe_rank", F.row_number().over(
-            __import__("pyspark").sql.Window.partitionBy("query_id").orderBy(F.xxhash64("query_id", "shard"))))
+            Window.partitionBy("query_id").orderBy(F.xxhash64("query_id", "shard"))))
     )
     r_rand = R.first_shard_recall(gt, assignment, rand_routes, 10, nq)
     assert r_tree > r_rand
