@@ -121,6 +121,14 @@ def featurize(files: DataFrame, dim: int = DIM, seed: int = 42, id_col: str = "i
 
 def repos_to_points(repos: DataFrame, dim: int = DIM, seed: int = 42) -> DataFrame:
     """Full front-end: dedup → dense ids → featurize. Returns
-    ``points(id, vec)``; also usable piecewise (dedup_files / dense_ids)."""
-    files = dense_ids(dedup_files(repos), "sha256")
-    return featurize(files, dim=dim, seed=seed)
+    ``points(id, vec)``; also usable piecewise (dedup_files / dense_ids).
+
+    dense ids are assigned on the *narrow* (sha256-only) projection — the
+    materialization barrier inside ``dense_ids`` then touches ~70 B/row
+    instead of hauling full contents; contents rejoin via one hash-shuffle
+    on sha256 (uniform key, scales linearly).
+    """
+    files = dedup_files(repos)
+    ids = dense_ids(files.select("sha256"), "sha256")
+    with_ids = files.select("sha256", "content").join(ids, "sha256")
+    return featurize(with_ids, dim=dim, seed=seed)

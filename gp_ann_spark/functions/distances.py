@@ -108,3 +108,12 @@ def sql_distance(a: Column, b: Column, metric: str = "l2") -> Column:
     if metric == "l2":
         return sql_sqr_l2(a, b)
     return F.lit(1.0) - sql_inner_product(a, b)
+
+
+def sql_l2_normalize(vec: Column) -> Column:
+    """L2-normalize an ARRAY column in Catalyst (≙ L2Normalize
+    dist.cpp:60-73, used by convert.cpp:38-61 for angular datasets);
+    zero vectors pass through unchanged."""
+    norm = F.sqrt(F.aggregate(vec.cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v))
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.transform(vec, lambda v: (v / safe).cast("float"))

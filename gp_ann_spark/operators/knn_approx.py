@@ -133,6 +133,31 @@ def _merge_small_buckets(
     )
 
 
+def _force_split_big_buckets(pts: DataFrame, max_cluster_size: int, seed: int) -> DataFrame:
+    """Random-split any bucket still above ``max_cluster_size`` after the
+    depth-capped recursion (≙ the near-duplicate base case
+    knn_graph.h:120-131: such buckets are (near-)duplicate clusters that
+    leader sampling cannot shrink; a seeded hash split bounds the
+    brute-force cost at the price of a few split-crossing edges)."""
+    sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    big = sizes.where(F.col("n") > max_cluster_size)
+    if big.limit(1).count() == 0:
+        return pts
+    splits = big.select("bucket", F.ceil(F.col("n") / max_cluster_size).cast("long").alias("_ns"))
+    offset = 1 + (sizes.agg(F.max("bucket")).collect()[0][0] or 0)
+    return (
+        pts.join(F.broadcast(splits), "bucket", "left")
+        .select(
+            "id",
+            "vec",
+            F.when(
+                F.col("_ns").isNotNull(),
+                F.lit(offset) + F.col("bucket") * 1024 + F.pmod(F.xxhash64("id", F.lit(seed), F.lit("split")), F.col("_ns")),
+            ).otherwise(F.col("bucket")).alias("bucket"),
+        )
+    )
+
+
 def build_knn_graph(
     points: DataFrame,
     k: int = 10,
@@ -204,6 +229,7 @@ def build_knn_graph(
             )
             for aux in (sizes, leaders, bmap):
                 release_local_checkpoint(aux)
+        pts = _force_split_big_buckets(pts, max_cluster_size, seed + rep)
         pts = _merge_small_buckets(pts).dropDuplicates(["bucket", "id"])
         all_candidates.append(_bucket_bruteforce(pts.select("bucket", "id", "vec"), k, metric))
 

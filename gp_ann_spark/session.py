@@ -24,6 +24,10 @@ _ENGINE_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Broadcast threshold: centroid/leader/routing tables are small dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Shuffled-hash over sort-merge: superstep joins (ranks ⋈ edges) would
+    # otherwise re-SORT the full edge table every iteration; hashing the
+    # small vertex-state side is strictly cheaper for our join shapes.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",

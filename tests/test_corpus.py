@@ -66,3 +66,36 @@ def test_featurizer_same_content_same_vector(spark):
     pts = featurize(files, dim=32)
     assert pts.count() == files.count()
     assert pts.select("id").distinct().count() == pts.count()
+
+
+def test_metis_io_roundtrip(spark, tmp_path):
+    from gp_ann_spark import io as gio
+    from pyspark.sql import functions as F
+
+    asn = spark.createDataFrame([(i, i % 3 * 5) for i in range(12)], "id long, shard int")
+    p = str(tmp_path / "part.txt")
+    gio.write_metis_partition(asn, p)
+    back = gio.read_metis_partition(spark, p)
+    # densified: shards {0,5,10} → {0,1,2}
+    got = {r["id"]: r["shard"] for r in back.collect()}
+    assert got == {i: i % 3 for i in range(12)}
+
+    cp = str(tmp_path / "clusters.txt")
+    gio.write_clusters(asn, cp)
+    back2 = gio.read_clusters(spark, cp)
+    assert back2.count() == 12
+    # same membership structure (shard ids are line numbers)
+    orig_groups = sorted(tuple(sorted(r["m"])) for r in asn.groupBy("shard").agg(F.collect_list("id").alias("m")).collect())
+    new_groups = sorted(tuple(sorted(r["m"])) for r in back2.groupBy("shard").agg(F.collect_list("id").alias("m")).collect())
+    assert orig_groups == new_groups
+
+
+def test_metis_graph_write(spark, tmp_path):
+    from gp_ann_spark import io as gio
+
+    edges = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double")
+    p = str(tmp_path / "g.metis")
+    gio.write_metis_graph(edges, p)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "3 2"
+    assert lines[1] == "2" and lines[2] == "1 3" and lines[3] == "2"

@@ -29,10 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_ROWS = 600_000
+N_ROWS = 2_400_000
 N_QUERIES = 8_000
-N_EDGES_V = 600_000
-PR_ITERS = 6
+N_KNN_POINTS = 600_000
+N_EDGES_V = 4_000_000
+PR_ITERS = 4
 
 
 def synthetic_points(spark, n, dim=64, seed=7):
@@ -83,7 +84,7 @@ def run_stage(cpus: int) -> dict[str, float]:
     out["featurize_rows_per_s"] = N_ROWS / out["featurize_sec"]
 
     # 2. knn query throughput (broadcast top-k scoring)
-    pts = synthetic_points(spark, N_ROWS).repartition(cpus * 2).cache()
+    pts = synthetic_points(spark, N_KNN_POINTS).repartition(cpus * 2).cache()
     pts.count()
     qs = synthetic_points(spark, N_QUERIES, seed=99).select(F.col("id").alias("query_id"), "vec")
     out["knn_sec"] = timed_min(lambda: KNN.exact_knn(pts, qs, k=10).count())
