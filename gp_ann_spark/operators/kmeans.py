@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
-from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.functions.distances import distance_matrix, pos_distance_matrix
 
 SEED = 555  # the reference's algorithm seed (kmeans.cpp:19 via partition.cpp:14)
 
@@ -322,3 +322,241 @@ def assign_all_candidates(
             )
 
     return points.select("id", "vec").mapInPandas(rate, schema="id long, cand int, dist double")
+
+
+def balanced_kmeans_bkm(
+    points: DataFrame,
+    k: int,
+    max_cluster_size: int,
+    n_lloyd_iter: int = 10,
+    max_rounds: int = 30,
+    metric: str = "l2",
+    seed: int = SEED,
+    inflow_slack: float = 0.10,
+) -> tuple[np.ndarray, DataFrame]:
+    """BKM+ balanced k-means as synchronous supersteps.
+
+    ≙ BalancedKMeans (kmeans.cpp:253-524). Faithful pieces:
+
+    - warm start from plain Lloyd (kmeans.cpp:254);
+    - move score = pos_distance(p, c_j) + penalty · |cluster_j|
+      (kmeans.cpp:426) with moves gated exactly like the reference: to a
+      *larger* cluster only if the penalty threshold allows it
+      (kmeans.cpp:433-449);
+    - per-point ``penalty_needed`` = (dist_j − dist_old)/(|old|−|j|), the
+      adaptive schedule ``penalty = (1.5009 − 0.0009·round) · min penalty``
+      (kmeans.cpp:295-301, :474), switching to 1.01 after round 100;
+    - track the best *balanced* partition by objective, stop when balanced
+      and no longer improving (kmeans.cpp:465-472);
+    - final greedy re-migration pins the hard cap (kmeans.cpp:494-515) via
+      the iterated ``capacity_fill``.
+
+    Batched deviation (SURVEY §7): the reference interleaves 1000 sequential
+    mini-batches per round with continuous size updates; synchronous
+    supersteps instead gate each cluster's net inflow per round (capacity
+    window over move gain) to prevent the oscillation that continuous
+    updates suppress. The invariant that matters — final balance ≤ cap with
+    Lloyd-quality objective — is enforced by the same final re-migration the
+    reference relies on.
+    """
+    spark = points.sparkSession
+    n = points.count()
+    centroids, _ = lloyd(points, k, n_iter=n_lloyd_iter, metric=metric, seed=seed)
+    k_eff = len(centroids)
+    assignment = assign_to_centroids(points, centroids, metric).localCheckpoint(eager=True)
+    pts = points.select("id", "vec").repartition("id").cache()
+
+    def sizes_of(asn: DataFrame) -> np.ndarray:
+        out = np.zeros(k_eff, dtype=np.int64)
+        for r in asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect():
+            out[int(r["shard"])] = int(r["c"])
+        return out
+
+    sizes = sizes_of(assignment)
+    penalty = 0.0
+    best_balanced: DataFrame | None = None
+    best_objective = np.inf
+
+    for rnd in range(1, max_rounds + 1):
+        bc = spark.sparkContext.broadcast((centroids, sizes, penalty))
+        state = pts.join(assignment, "id")
+
+        def score_moves(batches):
+            C, SZ, pen = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                old = pdf["shard"].to_numpy()
+                d = pos_distance_matrix(X, C, metric)
+                score = d + pen * SZ[None, :]
+                old_d = d[np.arange(len(X)), old]
+                old_sz = SZ[old]
+                denom = old_sz[:, None] - SZ[None, :]
+                denom[denom == 0] = 1
+                pen_needed = (d - old_d[:, None]) / denom
+                # moves to larger clusters allowed only if pen >= pen_needed
+                to_larger = SZ[None, :] >= old_sz[:, None]
+                blocked = to_larger & (pen < pen_needed)
+                score[blocked] = np.inf
+                score[np.arange(len(X)), old] = old_d + pen * old_sz  # own score
+                best = score.argmin(1)
+                gain = score[np.arange(len(X)), old] - score[np.arange(len(X)), best]
+                # min penalty that would unlock a smaller-cluster move
+                pn = np.where((SZ[None, :] < old_sz[:, None]) & (pen < pen_needed), pen_needed, np.inf).min(1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "old": old,
+                        "new": best.astype(np.int32),
+                        "gain": gain,
+                        "dist_new": d[np.arange(len(X)), best],
+                        "pen_needed": pn,
+                    }
+                )
+
+        moves = state.mapInPandas(
+            score_moves, schema="id long, old int, new int, gain double, dist_new double, pen_needed double"
+        ).localCheckpoint(eager=True)
+
+        # inflow gate per target cluster: best gains first (≙ the continuous
+        # size updates of the sequential mini-batches)
+        room = {
+            j: max(0, max_cluster_size - int(sizes[j])) + int(inflow_slack * n / k_eff) for j in range(k_eff)
+        }
+        caps = spark.createDataFrame([(int(j), int(c)) for j, c in room.items()], "new int, cap long")
+        w_cap = Window.partitionBy("new").orderBy(F.col("gain").desc(), F.col("id").asc())
+        applied = (
+            moves.where((F.col("new") != F.col("old")) & (F.col("gain") > 0))
+            .join(F.broadcast(caps), "new")
+            .withColumn("_r", F.row_number().over(w_cap))
+            .where(F.col("_r") <= F.col("cap"))
+            .select("id", F.col("new").alias("shard"))
+        )
+        n_moved = applied.count()
+        assignment = swap_checkpoint(
+            assignment.join(applied.withColumnRenamed("shard", "_ns"), "id", "left")
+            .select("id", F.coalesce("_ns", F.col("shard")).cast("int").alias("shard")),
+            assignment,
+        )
+        sizes = sizes_of(assignment)
+
+        # centroid update + objective on the new assignment
+        centroids, sizes_arr, objective = _superstep_given_assignment(pts, assignment, k_eff, metric)
+        min_pen_needed = moves.agg(F.min("pen_needed")).collect()[0][0]
+        release_local_checkpoint(moves)
+
+        balanced = (sizes <= max_cluster_size).all()
+        if balanced:
+            if objective < best_objective:
+                best_objective = objective
+                best_balanced = assignment
+            else:
+                break  # balanced, no improvement → quit (kmeans.cpp:470)
+        elif min_pen_needed is not None and np.isfinite(min_pen_needed):
+            sched = 1.01 if rnd > 100 else (1.5009 - 0.0009 * rnd)
+            penalty = sched * float(min_pen_needed)
+        if n_moved == 0 and balanced:
+            break
+
+    final = best_balanced if best_balanced is not None else assignment
+    # hard enforcement (≙ kmeans.cpp:494-515)
+    _, enforced = _enforce_cap(pts, final, centroids, max_cluster_size, metric)
+    pts.unpersist()
+    return centroids, enforced
+
+
+def _superstep_given_assignment(
+    pts: DataFrame, assignment: DataFrame, k: int, metric: str
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Centroid means + objective for a FIXED assignment (partial/final agg,
+    ≙ AggregateClustersParallel kmeans.cpp:151-204 + ObjectiveValue :246)."""
+    d = len(pts.select("vec").first()[0])
+    joined = pts.join(assignment, "id").select("shard", "vec")
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            sh = pdf["shard"].to_numpy()
+            sums = np.zeros((k, X.shape[1]))
+            np.add.at(sums, sh, X)
+            cnt = np.bincount(sh, minlength=k)
+            nz = cnt > 0
+            yield pd.DataFrame({"shard": np.arange(k)[nz], "cnt": cnt[nz], "sums": list(sums[nz])})
+
+    agg = (
+        joined.mapInPandas(partial, schema="shard int, cnt long, sums array<double>")
+        .groupBy("shard")
+        .agg(F.sum("cnt").alias("cnt"), *[F.sum(F.col("sums")[i]).alias(f"s{i}") for i in range(d)])
+        .toPandas()
+    )
+    C = np.zeros((k, d))
+    sizes = np.zeros(k, dtype=np.int64)
+    for _, row in agg.iterrows():
+        j = int(row["shard"])
+        sizes[j] = int(row["cnt"])
+        C[j] = np.array([row[f"s{i}"] for i in range(d)]) / max(row["cnt"], 1)
+    # objective = Σ dist(p, centroid(assigned)) via one scoring pass
+    spark = pts.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def obj(batches):
+        CC = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            sh = pdf["shard"].to_numpy()
+            dd = distance_matrix(X, CC, metric)
+            yield pd.DataFrame({"o": [float(dd[np.arange(len(X)), sh].sum())]})
+
+    total = joined.mapInPandas(obj, schema="o double").agg(F.sum("o")).collect()[0][0] or 0.0
+    return C, sizes, float(total)
+
+
+def _enforce_cap(
+    pts: DataFrame, assignment: DataFrame, centroids: np.ndarray, cap: int, metric: str
+) -> tuple[np.ndarray, DataFrame]:
+    """Greedy overflow re-migration to nearest non-full shard
+    (≙ kmeans.cpp:494-515): keep the cap-closest points of each overfull
+    shard, capacity_fill the rest into remaining room."""
+    spark = pts.sparkSession
+    asn = assignment
+    for _ in range(8):
+        sizes = {int(r["shard"]): int(r["c"]) for r in asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()}
+        over = [s for s, c in sizes.items() if c > cap]
+        if not over:
+            break
+        with_own = pts.join(asn, "id")
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def own_dist(batches):
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                sh = pdf["shard"].to_numpy()
+                dd = distance_matrix(X, C, metric)
+                yield pd.DataFrame({"id": pdf["id"], "shard": sh, "dist": dd[np.arange(len(X)), sh]})
+
+        rated = with_own.mapInPandas(own_dist, schema="id long, shard int, dist double")
+        w = Window.partitionBy("shard").orderBy(F.col("dist").asc(), F.col("id").asc())
+        ranked = rated.withColumn("_r", F.row_number().over(w))
+        keep = ranked.where(~F.col("shard").isin(over) | (F.col("_r") <= cap)).select("id", "shard")
+        spill = ranked.where(F.col("shard").isin(over) & (F.col("_r") > cap)).select("id")
+        room = {s: cap - c for s, c in sizes.items() if c < cap}
+        if not room:
+            break
+        open_shards = sorted(room)
+        sub_c = centroids[open_shards]
+        rated_spill = assign_all_candidates(pts.join(spill, "id", "left_semi"), sub_c, metric)
+        rated_spill = rated_spill.withColumn(
+            "shard", F.element_at(F.array(*[F.lit(s) for s in open_shards]), F.col("cand") + 1)
+        ).drop("cand")
+        caps_df = spark.createDataFrame([(int(s), int(c)) for s, c in room.items()], "shard int, cap int")
+        placed = capacity_fill(rated_spill, caps_df)
+        asn = swap_checkpoint(keep.unionByName(placed.select("id", "shard")), asn if asn is not assignment else None)
+    return centroids, asn.select("id", "shard")

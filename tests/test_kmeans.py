@@ -71,3 +71,23 @@ def test_seeded_sample_deterministic(spark, rng):
     assert np.array_equal(a, b)
     c = KM.seeded_sample_centroids(df, 5, seed=556)
     assert not np.array_equal(a, c)
+
+
+def test_bkm_plus_balances_with_good_objective(spark, rng):
+    # one dominant blob (80%) + two small: plain k-means is far from balanced
+    X = np.vstack([
+        rng.normal(0, 0.05, size=(80, 4)),
+        rng.normal(4, 0.05, size=(10, 4)),
+        rng.normal(8, 0.05, size=(10, 4)),
+    ])
+    df = make_points_df(spark, X).cache()
+    cap = 40
+    cents, asn = KM.balanced_kmeans_bkm(df, 3, cap, n_lloyd_iter=5, max_rounds=10)
+    sizes = [r["c"] for r in asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert sum(sizes) == 100
+    assert max(sizes) <= cap
+    assert asn.select("id").distinct().count() == 100
+    # small blobs must not be split across shards by the balancing
+    labels = {r["id"]: r["shard"] for r in asn.collect()}
+    assert len({labels[i] for i in range(80, 90)}) == 1
+    assert len({labels[i] for i in range(90, 100)}) == 1
