@@ -81,12 +81,17 @@ def pagerank(
     fixed_iters = tol <= 0.0
     verts = vertices(edges).cache()
     n = verts.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Pre-join degree into the edge table once; repartition on src so each
-    # superstep's rank⋈edge join reuses the same hash partitioning.
-    e = edges.select("src", "dst").join(out_deg, "src").repartition("src").cache()
+    # ONE shuffle builds the degree-annotated edge table: repartition by src,
+    # then outdeg via a partition-local window (no second groupBy+join pass).
+    # Every superstep's rank⋈edge join reuses this hash partitioning.
+    e = (
+        edges.select("src", "dst")
+        .repartition("src")
+        .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .cache()
+    )
     e.count()
-    dangling = verts.join(out_deg, verts.id == out_deg.src, "left_anti").cache()
+    dangling = verts.join(e.select("src").distinct(), verts.id == F.col("src"), "left_anti").cache()
     has_dangling = dangling.limit(1).count() > 0
 
     start = cp.latest()

@@ -48,7 +48,7 @@ def synthetic_points(spark, n, dim=64, seed=7):
     )
 
 
-REPS = 3
+REPS = 2
 
 
 def run_stage(cpus: int) -> dict[str, float]:
@@ -121,7 +121,7 @@ def main() -> None:
     for cpus in LEVELS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--stage", str(cpus)],
-            capture_output=True, text=True, timeout=1800, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=3600, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
         results[cpus] = json.loads(line[len("RESULT "):])
