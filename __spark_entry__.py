@@ -54,17 +54,19 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
 
 
-_EDGE_CACHE: dict[str, DataFrame] = {}
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized exact k-NN edge table over the embeddings — the link
-    graph every graph query runs on. Memoized per sf_dir (the driver calls
-    each query separately)."""
-    if sf_dir not in _EDGE_CACHE:
+    graph every graph query runs on. Memoized per (session, sf_dir): the
+    driver calls each query separately, and a cached DataFrame must not
+    outlive its SparkSession."""
+    key = (id(spark), sf_dir)
+    if key not in _EDGE_CACHE:
         e = KNN.symmetrize(KNN.knn_edges(_points(spark, sf_dir), k=K))
-        _EDGE_CACHE[sf_dir] = e.localCheckpoint(eager=True)
-    return _EDGE_CACHE[sf_dir]
+        _EDGE_CACHE[key] = e.localCheckpoint(eager=True)
+    return _EDGE_CACHE[key]
 
 
 # The same edge table in DuckDB SQL (shared CTE prefix for graph oracles).
