@@ -44,8 +44,10 @@ def random_partition(points: DataFrame, num_shards: int, seed: int = SEED, id_co
 
 
 def max_cluster_size(n: int, num_shards: int, eps: float = 0.05) -> int:
-    """ε-balance cap: ceil((1+ε)·n/s) (≙ partition.cpp:88)."""
-    return int(np.ceil((1.0 + eps) * n / num_shards))
+    """ε-balance cap: floor((1+ε)·n/s), exactly the reference's size_t
+    truncation (partition.cpp:88) — and never below ceil(n/s), which is the
+    feasibility floor."""
+    return max(int((1.0 + eps) * n / num_shards), int(np.ceil(n / num_shards)))
 
 
 def kmeans_partition(points: DataFrame, num_shards: int, eps: float = 0.05, n_iter: int = 20,

@@ -33,8 +33,9 @@ def test_random_partition_deterministic_and_spread(spark):
 
 
 def test_max_cluster_size():
-    assert P.max_cluster_size(100, 4, 0.05) == 27
-    assert P.max_cluster_size(1000, 40, 0.05) == 27
+    assert P.max_cluster_size(100, 4, 0.05) == 26   # floor(26.25), ≙ partition.cpp:88
+    assert P.max_cluster_size(1000, 40, 0.05) == 26
+    assert P.max_cluster_size(10, 3, 0.0) == 4      # feasibility floor ceil(n/s)
 
 
 def test_graph_partition_two_cliques(spark):
