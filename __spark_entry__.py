@@ -214,23 +214,101 @@ def q_label_propagation(spark, sf_dir):
     return G.label_propagation(_edges(spark, sf_dir), n_iter=5)
 
 
+N_QUERIES = 50  # deterministic query set: vec_id < 50 (NOT limit(), which
+# is partition-order dependent) — the SQL oracles select the same set
+
+
 def q_routing_recall_curve(spark, sf_dir):
+    """recall@10 vs shards-probed, centroid routing over the label shards —
+    the headline curve with a *fully SQL-expressible* partition (shard =
+    the embeddings `label` column) so DuckDB replays the whole pipeline:
+    GT → per-shard mean centroids → probe order → cumulative recall."""
     pts = _points(spark, sf_dir).cache()
-    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(50).localCheckpoint(eager=True)
-    asn = P.graph_partition(_edges(spark, sf_dir), num_shards=8, coarse_target=64).localCheckpoint(eager=True)
+    asn = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
+    qs = pts.where(F.col("id") < N_QUERIES).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    nq = qs.count()
     gt = R.ground_truth(pts, qs, k=K).localCheckpoint(eager=True)
     routes = RT.centroid_router(qs, pts, asn)
-    return R.recall_vs_probes(gt, asn, routes, K, qs.count()).select(
+    return R.recall_vs_probes(gt, asn, routes, K, nq).select(
         "nprobes", F.round("recall", 6).alias("recall")
     )
 
 
 def q_ivf_topk(spark, sf_dir):
-    return SIM.ivf_topk(_emb(spark, sf_dir), k=K, n_cells=8, nprobe=3)
+    """IVF route→probe→merge with the label column as the cell assignment —
+    same operators as the k-means-cell variant, but SQL-replayable."""
+    emb = _emb(spark, sf_dir)
+    cells = emb.select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
+    return SIM.ivf_topk(emb, k=K, nprobe=3, cells=cells)
+
+
+# ---- invariant checks: the operator output is seeded/iterative (not SQL-
+# reproducible), but its CONTRACT is — coverage, shard count, balance cap.
+# The oracle derives the expected values from the tables; the Spark side
+# computes them from the actual operator output, so any contract violation
+# hash-mismatches.
+def _partition_invariants(spark, sf_dir, asn, num_shards: int):
+    emb_ids = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    n = emb_ids.count()
+    cap = P.max_cluster_size(n, num_shards, eps=0.05)
+    missing = emb_ids.join(asn.select("id"), "id", "left_anti").count()
+    stats = asn.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.countDistinct("shard").alias("n_shards"),
+    )
+    mx = asn.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).agg(F.max("cnt").alias("mx"))
+    return stats.crossJoin(mx).select(
+        F.col("n_ids").alias("n_points"),
+        F.col("n_shards").cast("long").alias("n_shards"),
+        (F.col("mx") <= F.lit(int(cap))).alias("within_cap"),
+        ((F.col("n_rows") == F.lit(n)) & (F.col("n_ids") == F.lit(n)) & F.lit(missing == 0)).alias(
+            "full_coverage"
+        ),
+    )
+
+
+def q_graph_partition_invariants(spark, sf_dir):
+    asn = P.graph_partition(_edges(spark, sf_dir), num_shards=8, coarse_target=64).localCheckpoint(eager=True)
+    return _partition_invariants(spark, sf_dir, asn, 8)
+
+
+def q_kmeans_partition_invariants(spark, sf_dir):
+    asn = P.kmeans_partition(_points(spark, sf_dir).cache(), num_shards=8, n_iter=8).localCheckpoint(eager=True)
+    return _partition_invariants(spark, sf_dir, asn, 8)
+
+
+def q_approx_knn_quality(spark, sf_dir):
+    """Contract of the approximate k-NN builder: every point gets edges,
+    out-degree ≤ k, and the sketch recovers ≥70% of the exact k-NN edges."""
+    pts = _points(spark, sf_dir).cache()
+    approx = q_approx_knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    exact = KNN.knn_edges(pts, k=K).localCheckpoint(eager=True)
+    n = pts.count()
+    exact_cnt = exact.count()
+    inter = approx.join(exact.select("src", "dst"), ["src", "dst"], "left_semi").count()
+    recall = inter / exact_cnt
+    max_deg = approx.groupBy("src").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c")).collect()[0][0]
+    n_src = approx.select("src").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_src), bool(n_src == n), bool(max_deg <= K), bool(recall >= 0.7))],
+        "n_srcs long, all_points_covered boolean, deg_le_k boolean, recall_ge_70pct boolean",
+    )
 
 
 def q_media_features(spark, sf_dir):
-    return MM.extract_features(MM.synth_media(spark, 200), dim=16)
+    # The ARRAY<FLOAT> feature column is not canonicalizable by the driver's
+    # rows-only pandas sort (lists are unhashable) — emit a scalar projection:
+    # md5 over the 6-dp-rounded vector plus the first dims as scalar columns.
+    feats = MM.extract_features(MM.synth_media(spark, 200), dim=16)
+    rounded = F.transform("feature", lambda v: F.format_number(v.cast("double"), 6))
+    return feats.select(
+        "media_id",
+        F.md5(F.concat_ws(",", rounded)).alias("feature_md5"),
+        F.size("feature").alias("dim"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -275,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_recall_curve": q_routing_recall_curve,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "graph_partition_invariants": q_graph_partition_invariants,
+        "kmeans_partition_invariants": q_kmeans_partition_invariants,
+        "approx_knn_quality": q_approx_knn_quality,
     }
 
 
@@ -447,4 +528,106 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COS_T}
         """,
+        # synchronous majority-vote LP, (votes desc, label asc) tie-break —
+        # every vertex of the symmetrized edge table has in-neighbors, so the
+        # no-votes-keep-own branch never fires and one recursive reference
+        # suffices
+        "label_propagation": f"""
+            WITH RECURSIVE {_EDGES_CTE},
+            lp(iter, id, label) AS (
+              SELECT 0, src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION ALL
+              SELECT iter + 1, id, label FROM (
+                SELECT l.iter AS iter, e.dst AS id, l.label AS label,
+                       row_number() OVER (
+                         PARTITION BY l.iter, e.dst ORDER BY count(*) DESC, l.label ASC
+                       ) AS rn
+                FROM lp l JOIN edges e ON l.id = e.src
+                WHERE l.iter < 5
+                GROUP BY l.iter, e.dst, l.label
+              ) WHERE rn = 1
+            )
+            SELECT id, label FROM lp WHERE iter = 5
+        """,
+        "routing_recall_curve": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+            gt AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
+                       ) AS rnk
+                FROM q, embeddings b
+              ) WHERE rnk <= {K}
+            ),
+            cents AS (
+              SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c
+              FROM embeddings, range(64) t(i) GROUP BY label, i
+            ),
+            cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cents GROUP BY label),
+            routes AS (
+              SELECT query_id, label AS shard,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_distance(q.embedding::DOUBLE[], cv::DOUBLE[]), label
+                     ) AS probe_rank
+              FROM q, cvec
+            ),
+            ff AS (
+              SELECT g.query_id, g.neighbor_id, min(r.probe_rank) AS first_probe
+              FROM gt g
+              JOIN embeddings a ON a.vec_id = g.neighbor_id
+              JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
+              GROUP BY 1, 2
+            ),
+            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1)
+            SELECT nprobes,
+                   round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
+                         / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
+            FROM pr
+        """,
+        "ivf_topk": f"""
+            WITH cents AS (
+              SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c
+              FROM embeddings, range(64) t(i) GROUP BY label, i
+            ),
+            cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cents GROUP BY label),
+            probes AS (
+              SELECT query_id, shard FROM (
+                SELECT q.vec_id AS query_id, c.label AS shard,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_distance(q.embedding::DOUBLE[], c.cv::DOUBLE[]), c.label
+                       ) AS pr
+                FROM embeddings q, cvec c
+              ) WHERE pr <= 3
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT p.query_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
+                     ) AS rank
+              FROM probes p
+              JOIN embeddings a ON a.vec_id = p.query_id
+              JOIN embeddings b ON b.label = p.shard AND b.vec_id <> p.query_id
+            ) WHERE rank <= {K}
+        """,
+        # invariant oracles: expected values derived from the tables; the
+        # Spark side computes the same columns from the operator's actual
+        # output, so a contract violation (coverage/balance/degree/recall)
+        # shows up as a value-hash mismatch
+        "graph_partition_invariants": (
+            "SELECT count(*) AS n_points, 8::BIGINT AS n_shards, "
+            "true AS within_cap, true AS full_coverage FROM embeddings"
+        ),
+        "kmeans_partition_invariants": (
+            "SELECT count(*) AS n_points, 8::BIGINT AS n_shards, "
+            "true AS within_cap, true AS full_coverage FROM embeddings"
+        ),
+        "approx_knn_quality": (
+            "SELECT count(*) AS n_srcs, true AS all_points_covered, "
+            "true AS deg_le_k, true AS recall_ge_70pct FROM embeddings"
+        ),
     }

@@ -138,7 +138,12 @@ def pagerank(
             .collect()[0]["d"]
         )
         if it % checkpoint_every == 0 or delta < tol:
+            # cp.save releases only the checkpointer's own _prev; the current
+            # ranks frame may be a swap_checkpoint product — release it too
+            # (double-release of an already-freed frame is a no-op)
+            prev = ranks
             ranks = cp.save(new_ranks, it, {"delta": float(delta)})
+            release_local_checkpoint(prev)
         else:
             # must break lineage here: next iter joins new_ranks with its
             # own ancestor (delta) → ambiguous-self-join otherwise

@@ -62,11 +62,17 @@ def _superstep(
     mapInPandas emits per-block (shard, count, sum_0..sum_{d-1}, obj) partial
     rows; Catalyst final-aggregates them (partial+final HashAggregate ≙
     AggregateClustersParallel kmeans.cpp:151-204).
+
+    ``metric="mips"`` uses the reference's spherical update
+    (SumPointsInClustersIP/NormalizeCentroidsIP kmeans.cpp:72-100): members
+    are summed with weight 1/‖p‖, then the centroid is rescaled so its
+    squared norm equals the mean member squared norm.
     """
     spark = points.sparkSession
     k, d = centroids.shape
     bc = spark.sparkContext.broadcast(centroids)
-    schema = "shard int, cnt long, obj double, sums array<double>"
+    mips = metric == "mips"
+    schema = "shard int, cnt long, obj double, norm_sq double, sums array<double>"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc.value
@@ -77,16 +83,27 @@ def _superstep(
             dists = distance_matrix(X, C, metric)
             a = dists.argmin(axis=1)
             obj = dists[np.arange(len(X)), a]
+            if mips:
+                # ≙ SumPointsInClustersIP: weight 1/‖p‖ per point, track Σ‖p‖²
+                norms = np.sqrt((X * X).sum(axis=1))
+                safe = np.where(norms == 0.0, 1.0, norms)
+                Xw = X / safe[:, None]
+                nsq = norms * norms
+            else:
+                Xw = X
+                nsq = np.zeros(len(X))
             sums = np.zeros((k, d))
-            np.add.at(sums, a, X)
+            np.add.at(sums, a, Xw)
             cnt = np.bincount(a, minlength=k)
             objs = np.bincount(a, weights=obj, minlength=k)
+            nsqs = np.bincount(a, weights=nsq, minlength=k)
             nz = cnt > 0
             yield pd.DataFrame(
                 {
                     "shard": np.arange(k)[nz],
                     "cnt": cnt[nz],
                     "obj": objs[nz],
+                    "norm_sq": nsqs[nz],
                     "sums": list(sums[nz]),
                 }
             )
@@ -98,6 +115,7 @@ def _superstep(
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("obj").alias("obj"),
+            F.sum("norm_sq").alias("norm_sq"),
             *[F.sum(F.col("sums")[i]).alias(f"s{i}") for i in range(d)],
         )
         .toPandas()
@@ -108,7 +126,15 @@ def _superstep(
     for _, row in agg.iterrows():
         s = int(row["shard"])
         sizes[s] = int(row["cnt"])
-        new_c[s] = np.array([row[f"s{i}"] for i in range(d)]) / row["cnt"]
+        vec = np.array([row[f"s{i}"] for i in range(d)])
+        if mips:
+            # ≙ NormalizeCentroidsIP kmeans.cpp:72-86: rescale the raw sum so
+            # ‖C‖² = mean member ‖p‖² (vec_norm is the squared norm).
+            desired = float(row["norm_sq"]) / row["cnt"]
+            current = float((vec * vec).sum())
+            new_c[s] = vec * np.sqrt(desired / current) if current > 0 else vec
+        else:
+            new_c[s] = vec / row["cnt"]
     return new_c, sizes, total_obj
 
 
@@ -147,18 +173,21 @@ def lloyd(
     seed: int = SEED,
     id_col: str = "id",
     vec_col: str = "vec",
+    drop_empty: bool = True,
 ) -> tuple[np.ndarray, DataFrame]:
     """Lloyd's k-means, fixed iteration count (≙ KMeans kmeans.cpp:228-244:
     20 rounds, no early exit). Returns (centroids, assignment DF).
 
     Empty clusters are dropped and ids densified at the end
-    (≙ RemoveEmptyClusters/RemapPartitionIDs kmeans.cpp:29-50).
+    (≙ RemoveEmptyClusters/RemapPartitionIDs kmeans.cpp:29-50) unless
+    ``drop_empty=False`` — balanced callers keep all k centroids so that
+    k·cap ≥ n stays feasible (an empty cluster is just spare capacity).
     """
     centroids = seeded_sample_centroids(points.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), k, seed)
     sizes = None
     for _ in range(n_iter):
         centroids, sizes, _ = _superstep(points, centroids, metric, id_col, vec_col)
-    if sizes is not None and (sizes == 0).any():
+    if drop_empty and sizes is not None and (sizes == 0).any():
         keep = sizes > 0
         centroids = centroids[keep]
     assignment = assign_to_centroids(points, centroids, metric, id_col, vec_col)
@@ -253,8 +282,14 @@ def balanced_lloyd(
     and that step we reproduce exactly (iterated capacity_fill).
     """
     n = points.count()
-    centroids, _ = lloyd(points, k, n_iter=n_iter, metric=metric, seed=seed)
+    # keep empty clusters: k_eff·cap ≥ n must hold or the spill has nowhere
+    # to go (silent point loss — see the unplaced assertion below)
+    centroids, _ = lloyd(points, k, n_iter=n_iter, metric=metric, seed=seed, drop_empty=False)
     k_eff = len(centroids)
+    if k_eff * max_cluster_size < n:
+        raise ValueError(
+            f"infeasible balance: k={k_eff} × cap={max_cluster_size} < n={n}"
+        )
     assignment = assign_to_centroids(points, centroids, metric, with_dist=True)
     assignment = assignment.localCheckpoint(eager=True)
 
@@ -271,7 +306,13 @@ def balanced_lloyd(
         spill_ids = ranked.where(F.col("shard").isin(over) & (F.col("_r") > max_cluster_size)).select("id")
         spill_pts = points.join(spill_ids, "id", "left_semi")
         # Rate spilled points against all non-full shards, greedy fill.
-        room = {s: max_cluster_size - int(c) for s, c in sizes.items() if c < max_cluster_size}
+        # range(k_eff), not sizes.keys(): a shard that never received a point
+        # is absent from sizes yet is exactly the spare capacity we need.
+        room = {
+            s: max_cluster_size - int(sizes.get(s, 0))
+            for s in range(k_eff)
+            if int(sizes.get(s, 0)) < max_cluster_size
+        }
         if not room:
             break
         open_shards = sorted(room)
@@ -283,10 +324,17 @@ def balanced_lloyd(
         caps = points.sparkSession.createDataFrame(
             [(int(s), int(c)) for s, c in room.items()], "shard int, cap int"
         )
-        placed = capacity_fill(rated, caps)
+        placed = capacity_fill(rated, caps).localCheckpoint(eager=True)
+        # every spilled point must land somewhere — silent loss would shrink
+        # the assignment (feasibility was checked up front, so this is a bug
+        # trap, not an expected path)
+        n_spill, n_placed = spill_ids.count(), placed.count()
+        if n_placed != n_spill:
+            raise RuntimeError(f"capacity_fill stranded {n_spill - n_placed} of {n_spill} spill points")
         assignment = swap_checkpoint(
             keep.select("id", "shard", "dist").unionByName(placed.select("id", "shard", "dist")), assignment
         )
+        release_local_checkpoint(placed)
 
     return centroids[:k_eff], assignment.select("id", "shard")
 
@@ -361,8 +409,10 @@ def balanced_kmeans_bkm(
     """
     spark = points.sparkSession
     n = points.count()
-    centroids, _ = lloyd(points, k, n_iter=n_lloyd_iter, metric=metric, seed=seed)
+    centroids, _ = lloyd(points, k, n_iter=n_lloyd_iter, metric=metric, seed=seed, drop_empty=False)
     k_eff = len(centroids)
+    if k_eff * max_cluster_size < n:
+        raise ValueError(f"infeasible balance: k={k_eff} × cap={max_cluster_size} < n={n}")
     assignment = assign_to_centroids(points, centroids, metric).localCheckpoint(eager=True)
     pts = points.select("id", "vec").repartition("id").cache()
 
@@ -434,10 +484,13 @@ def balanced_kmeans_bkm(
             .select("id", F.col("new").alias("shard"))
         )
         n_moved = applied.count()
+        # never release a frame still referenced as best_balanced — it must
+        # stay readable for the final _enforce_cap (a released localCheckpoint
+        # dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next read)
         assignment = swap_checkpoint(
             assignment.join(applied.withColumnRenamed("shard", "_ns"), "id", "left")
             .select("id", F.coalesce("_ns", F.col("shard")).cast("int").alias("shard")),
-            assignment,
+            assignment if assignment is not best_balanced else None,
         )
         sizes = sizes_of(assignment)
 
@@ -450,6 +503,8 @@ def balanced_kmeans_bkm(
         if balanced:
             if objective < best_objective:
                 best_objective = objective
+                if best_balanced is not None and best_balanced is not assignment:
+                    release_local_checkpoint(best_balanced)  # superseded best
                 best_balanced = assignment
             else:
                 break  # balanced, no improvement → quit (kmeans.cpp:470)
@@ -546,8 +601,11 @@ def _enforce_cap(
         w = Window.partitionBy("shard").orderBy(F.col("dist").asc(), F.col("id").asc())
         ranked = rated.withColumn("_r", F.row_number().over(w))
         keep = ranked.where(~F.col("shard").isin(over) | (F.col("_r") <= cap)).select("id", "shard")
-        spill = ranked.where(F.col("shard").isin(over) & (F.col("_r") > cap)).select("id")
-        room = {s: cap - c for s, c in sizes.items() if c < cap}
+        spill = ranked.where(F.col("shard").isin(over) & (F.col("_r") > cap)).select("id").localCheckpoint(eager=True)
+        # empty shards are spare capacity too — range over all centroids
+        room = {
+            s: cap - int(sizes.get(s, 0)) for s in range(len(centroids)) if int(sizes.get(s, 0)) < cap
+        }
         if not room:
             break
         open_shards = sorted(room)
@@ -557,6 +615,11 @@ def _enforce_cap(
             "shard", F.element_at(F.array(*[F.lit(s) for s in open_shards]), F.col("cand") + 1)
         ).drop("cand")
         caps_df = spark.createDataFrame([(int(s), int(c)) for s, c in room.items()], "shard int, cap int")
-        placed = capacity_fill(rated_spill, caps_df)
+        placed = capacity_fill(rated_spill, caps_df).localCheckpoint(eager=True)
+        n_spill, n_placed = spill.count(), placed.count()
+        if n_placed != n_spill:
+            raise RuntimeError(f"capacity_fill stranded {n_spill - n_placed} of {n_spill} spill points")
         asn = swap_checkpoint(keep.unionByName(placed.select("id", "shard")), asn if asn is not assignment else None)
+        release_local_checkpoint(spill)
+        release_local_checkpoint(placed)
     return centroids, asn.select("id", "shard")

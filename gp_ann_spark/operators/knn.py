@@ -80,8 +80,9 @@ def exact_knn(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_vecs = bc.value
         # cap the per-matmul block so the (block × n_queries) distance
-        # matrix stays ~64 MB regardless of Arrow batch sizing
-        chunk = max(256, (8 << 20) // max(len(b_ids), 1))
+        # matrix stays ≤ ~64 MB regardless of Arrow batch sizing AND of the
+        # broadcast query count (floor 8 → worst case 8 × nq × 8 B)
+        chunk = max(8, (8 << 20) // max(len(b_ids), 1))
         # Accumulate the running top-k per query across the WHOLE task and
         # emit once: the downstream merge then sees n_tasks×nq×k rows, not
         # n_chunks×nq×k (at 600k points that is an 8× smaller shuffle —

@@ -112,21 +112,85 @@ def _bucket_bruteforce(bucketed: DataFrame, k: int, metric: str) -> DataFrame:
     return bucketed.groupBy("bucket").applyInPandas(crunch, schema="src long, dst long, weight double")
 
 
+def _densify_hash(keys: DataFrame, col: str = "bucket", out: str = "_nb") -> DataFrame:
+    """Dense 0..B-1 ids for a distinct-key table WITHOUT a global window.
+
+    Bucket ids only need to be dense + deterministic, not ordered, so: hash-
+    repartition by key (stable layout, unlike range-sampling), rank locally
+    per partition, add driver-computed partition offsets (≤ #partitions rows
+    collected). Scales to any B; zero single-partition stages.
+    """
+    spark = keys.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    parted = (
+        keys.repartition(nparts, col)
+        .sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # also breaks self-join lineage at use site
+    )
+    cnt = sorted(
+        ((int(r["_pid"]), int(r["count"])) for r in parted.groupBy("_pid").count().collect())
+    )
+    offs, acc = [], 0
+    for pid, c in cnt:
+        offs.append((pid, acc))
+        acc += c
+    off_df = F.broadcast(spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long"))
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(col)).cast("long") - 1
+    result = (
+        parted.withColumn("_local", local)
+        .join(off_df, "_pid")
+        .select(col, (F.col("_off") + F.col("_local")).alias(out))
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(parted)
+    return result
+
+
 def _merge_small_buckets(
     pts: DataFrame, min_size: int = MIN_CLUSTER_SIZE, max_merged: int = MAX_MERGED_CLUSTER_SIZE,
 ) -> DataFrame:
     """Merge buckets smaller than ``min_size`` into batches ≤ ``max_merged``
     (≙ knn_graph.h:100-112 — avoids isolated nodes at the cost of a few long
-    range candidate edges). The window cumsum over the (tiny) bucket-size
-    table is the relational form of the reference's sorted greedy packing."""
+    range candidate edges). The greedy packing needs a *global* cumulative
+    sum over the bucket-size table (O(n/min_size) rows at scale), done as
+    range-partitioned local cumsums + driver-broadcast partition offsets —
+    no single-partition global window.
+    """
+    spark = pts.sparkSession
     sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     small = sizes.where(F.col("n") < min_size)
     if small.limit(1).count() == 0:
+        release_local_checkpoint(sizes)
         return pts
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    merged_map = small.withColumn(
-        "_merged", -(F.floor(F.sum("n").over(w) / max_merged) + 1)
-    ).select("bucket", "_merged")
+    nparts = max(spark.sparkContext.defaultParallelism, 1)
+    # one materialization so the offsets pass and the cumsum pass see the
+    # same (range-sampled) partition layout
+    parted = (
+        small.repartitionByRange(nparts, "bucket")
+        .sortWithinPartitions("bucket")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = sorted(
+        (int(r["_pid"]), int(r["s"]))
+        for r in parted.groupBy("_pid").agg(F.sum("n").alias("s")).collect()
+    )
+    offs, acc = [], 0
+    for pid, s_ in per_part:
+        offs.append((pid, acc))
+        acc += s_
+    off_df = F.broadcast(spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long"))
+    w_local = Window.partitionBy("_pid").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    merged_map = (
+        parted.withColumn("_cum", F.sum("n").over(w_local))
+        .join(off_df, "_pid")
+        .withColumn("_merged", -(F.floor((F.col("_off") + F.col("_cum")) / max_merged) + 1))
+        .select("bucket", "_merged")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(parted)
+    release_local_checkpoint(sizes)
     return (
         pts.join(F.broadcast(merged_map), "bucket", "left")
         .select("id", "vec", F.coalesce("_merged", F.col("bucket")).alias("bucket"))
@@ -214,15 +278,11 @@ def build_knn_graph(
             new_pts = reassigned.join(points.select("id", "vec"), "id").select("id", "vec", "bucket")
             # Done buckets keep ids < 0, split buckets get fresh ids ≥ 0:
             # densify every level so path-encoded ids never overflow int64
-            # (the raw encoding would overflow by depth 6). The distinct-
-            # bucket dim table is tiny (≤ |V|/min_bucket).
+            # (the raw encoding would overflow by depth 6). Hash-local
+            # ranking — NOT a global dense_rank window, which would funnel
+            # every distinct bucket through one partition per level per rep.
             merged = done_pts.select("id", "vec", (-F.col("bucket") - 1).alias("bucket")).unionByName(new_pts)
-            bmap = (
-                merged.select("bucket")
-                .distinct()
-                .withColumn("_nb", (F.dense_rank().over(Window.orderBy("bucket")) - 1).cast("long"))
-                .localCheckpoint(eager=True)  # break self-join lineage with merged
-            )
+            bmap = _densify_hash(merged.select("bucket").distinct())
             pts = swap_checkpoint(
                 merged.join(F.broadcast(bmap), "bucket").select("id", "vec", F.col("_nb").alias("bucket")),
                 pts,

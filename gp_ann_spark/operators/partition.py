@@ -354,56 +354,107 @@ def overlapping_partition(
     overlap: float = 0.2,
     eps: float = 0.05,
     num_shards: int | None = None,
-    max_rounds: int = 10,
+    max_rounds: int = 60,
 ) -> DataFrame:
     """Overlapping graph partitioning: iterated affinity moves append extra
     (id, shard) cover rows until the overlap budget o·n is spent
     (≙ OverlappingGraphPartitioning overlapping_partitioning.cpp:50-141;
     TopMove :23-48 = one LP step; valid-target predicate :36 = anti-join).
 
+    Faithful to the reference loop (:88-129): each round moves only the
+    nodes whose best valid-target affinity equals the round's *global max
+    affinity*, gated per cluster by remaining room, budget charged only for
+    placed rows, clusters served in ascending id order when the budget runs
+    short. The global max is a 1-row aggregate and the per-cluster gates are
+    partitioned windows — no single-partition global sort anywhere.
+
+    Cap deviation (documented): the reference inflates the *cluster count*
+    to k' = ceil((n + budget)/cap) before partitioning (:56) and keeps cap
+    strict; this operator receives a fixed assignment, so the equivalent
+    headroom goes into the cap instead: cap = (1+ε)(n + budget)/s.
+
     Returns a *cover* relation — ids may appear in multiple shards
     (Cover semantics defs.h:32, free in relational form, SURVEY §1).
     """
-    sym = edges.select("src", "dst", "weight").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     cover = assignment.select("id", "shard").localCheckpoint(eager=True)
     n = assignment.select("id").distinct().count()
     s = num_shards or (assignment.agg(F.max("shard")).collect()[0][0] + 1)
     budget = int(overlap * n)
-    cap = max_cluster_size(n, s, eps) + int(np.ceil(budget / s))
+    cap = max_cluster_size(n + budget, s, eps)
+    sizes = {
+        int(r["shard"]): int(r["c"])
+        for r in cover.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
 
     for _ in range(max_rounds):
         if budget <= 0:
             break
+        room = {sh: cap - sz for sh, sz in sizes.items() if sz < cap}
+        if not room:
+            break
+        open_df = F.broadcast(
+            edges.sparkSession.createDataFrame(
+                [(int(sh),) for sh in sorted(room)], "cand int"
+            )
+        )
         affinity = (
             sym.join(cover.select(F.col("id").alias("dst"), F.col("shard").alias("cand")), "dst")
             .groupBy(F.col("src").alias("id"), "cand")
             .agg(F.count(F.lit(1)).alias("aff"))
         )
-        # valid targets only: not already in the point's cover (anti-join)
+        # valid targets only (TopMove :36-40): not already in the point's
+        # cover (anti-join) AND the target cluster still has room
         new_targets = affinity.join(
             cover.select("id", F.col("shard").alias("cand")), ["id", "cand"], "left_anti"
-        )
+        ).join(open_df, "cand", "left_semi")
         w_best = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cand").asc())
-        best = new_targets.withColumn("_r", F.row_number().over(w_best)).where(F.col("_r") == 1)
-        sizes = cover.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
-        room = sizes.select(F.col("shard").alias("cand"), (F.lit(cap) - F.col("cnt")).cast("long").alias("cap"))
-        w_cap = Window.partitionBy("cand").orderBy(F.col("aff").desc(), F.col("id").asc())
-        w_glob = Window.orderBy(F.col("aff").desc(), F.col("id").asc())
+        best = (
+            new_targets.withColumn("_r", F.row_number().over(w_best))
+            .where(F.col("_r") == 1)
+            .localCheckpoint(eager=True)
+        )
+        max_aff = best.agg(F.max("aff")).collect()[0][0]
+        if max_aff is None or max_aff == 0:
+            release_local_checkpoint(best)
+            break
+        movers = best.where(F.col("aff") == max_aff)
+        counts = {
+            int(r["cand"]): int(r["c"])
+            for r in movers.groupBy("cand").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        # per-cluster take = min(room, movers), then budget served in
+        # ascending cluster-id order (≙ the sequential budget loop :108-111)
+        remaining = budget
+        take: dict[int, int] = {}
+        for sh in sorted(counts):
+            t = min(room.get(sh, 0), counts[sh], remaining)
+            if t > 0:
+                take[sh] = t
+                remaining -= t
+        if not take:
+            release_local_checkpoint(best)
+            break
+        take_df = F.broadcast(
+            edges.sparkSession.createDataFrame(
+                [(int(sh), int(t)) for sh, t in take.items()], "cand int, take long"
+            )
+        )
+        w_cap = Window.partitionBy("cand").orderBy(F.col("id").asc())
         moves = (
-            best.join(F.broadcast(room), "cand")
+            movers.join(take_df, "cand")
             .withColumn("_fill", F.row_number().over(w_cap))
-            .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
-            .withColumn("_g", F.row_number().over(w_glob))
-            .where(F.col("_g") <= budget)
+            .where(F.col("_fill") <= F.col("take"))
             .select("id", F.col("cand").cast("int").alias("shard"))
         )
-        n_moves = moves.count()
-        if n_moves == 0:
-            break
-        budget -= n_moves
+        budget -= sum(take.values())
+        for sh, t in take.items():
+            sizes[sh] = sizes.get(sh, 0) + t
         cover = swap_checkpoint(cover.unionByName(moves), cover)
+        release_local_checkpoint(best)
+    release_local_checkpoint(sym)
     return cover
 
 
@@ -418,30 +469,98 @@ def overlapping_kmeans_partition(
     """SPANN-style overlap from centroid ratings (≙
     MakeOverlappingWithCentroids / OverlappingKMeansPartitioningSPANN,
     overlapping_partitioning.cpp:143-235): rate every point against every
-    *external* centroid, sort all ratings globally by distance, greedily
-    append (id, shard) cover rows under per-shard capacity until the o·n
-    budget is spent. The global sort + greedy fill is ``capacity_fill`` with
-    a global budget window on top. Returns the cover relation.
+    *external* centroid, keep the ``num_keep``=5 closest open targets per
+    point (:191-198), then greedily append (id, shard) cover rows — capacity
+    first, budget charged only for placed rows (:210-218), strict cap
+    (1+ε)n/s (:231). Leftover budget may go unused, like the reference
+    (":219 possible assignments unused").
+
+    Scale shape: per-shard capacity windows + a driver-side water-fill of the
+    budget across shards (k-row table) replace the reference's global
+    distance sort — identical result whenever budget ≥ available room (the
+    common regime), a fair per-shard split otherwise. No single-partition
+    global window. Returns the cover relation.
     """
     n = assignment.select("id").distinct().count()
     s = int(len(centroids))
     budget = int(overlap * n)
     if budget <= 0:
         return assignment.select("id", "shard")
-    cap_total = max_cluster_size(n, s, eps) + int(np.ceil(budget / s))
+    cap_total = max_cluster_size(n, s, eps)
     rated = KM.assign_all_candidates(points, centroids, metric)
-    external = rated.withColumnRenamed("cand", "shard").join(
-        assignment.select("id", "shard"), ["id", "shard"], "left_anti"
+    sizes = {
+        int(r["shard"]): int(r["c"])
+        for r in assignment.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    room = {sh: cap_total - sizes.get(sh, 0) for sh in range(s) if sizes.get(sh, 0) < cap_total}
+    if not room:
+        return assignment.select("id", "shard")
+    open_df = F.broadcast(
+        points.sparkSession.createDataFrame([(int(sh),) for sh in sorted(room)], "shard int")
     )
-    w_glob = Window.orderBy(F.col("dist").asc(), F.col("id").asc())
-    top_rated = external.withColumn("_g", F.row_number().over(w_glob)).where(F.col("_g") <= budget).drop("_g")
-    sizes = assignment.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
-    room = sizes.select("shard", (F.lit(cap_total) - F.col("cnt")).cast("long").alias("cap"))
+    external = (
+        rated.withColumnRenamed("cand", "shard")
+        .join(assignment.select("id", "shard"), ["id", "shard"], "left_anti")
+        .join(open_df, "shard", "left_semi")
+    )
+    # num_keep=5 closest open targets per point (:191-198) — per-id window
+    w_keep = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("shard").asc())
+    kept = external.withColumn("_k", F.row_number().over(w_keep)).where(F.col("_k") <= 5).drop("_k")
+    # capacity gate FIRST (best distances land), then the budget water-fill
     w_cap = Window.partitionBy("shard").orderBy(F.col("dist").asc(), F.col("id").asc())
+    gated = (
+        kept.withColumn("_fill", F.row_number().over(w_cap))
+        .join(
+            F.broadcast(
+                points.sparkSession.createDataFrame(
+                    [(int(sh), int(r)) for sh, r in room.items()], "shard int, room long"
+                )
+            ),
+            "shard",
+        )
+        .where(F.col("_fill") <= F.col("room"))
+        .localCheckpoint(eager=True)
+    )
+    avail = {
+        int(r["shard"]): int(r["c"])
+        for r in gated.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    take = _water_fill(avail, budget)
+    take_df = F.broadcast(
+        points.sparkSession.createDataFrame(
+            [(int(sh), int(t)) for sh, t in take.items()], "shard int, take long"
+        )
+    )
     extras = (
-        top_rated.join(F.broadcast(room), "shard")
-        .withColumn("_fill", F.row_number().over(w_cap))
-        .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
+        gated.join(take_df, "shard")
+        .where(F.col("_fill") <= F.col("take"))
         .select("id", "shard")
     )
-    return assignment.select("id", "shard").unionByName(extras)
+    out = assignment.select("id", "shard").unionByName(extras).localCheckpoint(eager=True)
+    release_local_checkpoint(gated)
+    return out
+
+
+def _water_fill(avail: dict[int, int], budget: int) -> dict[int, int]:
+    """Deterministically split ``budget`` units across keys, each capped at
+    ``avail[key]``: repeated fair shares with redistribution of leftovers
+    (the k-row driver-side replacement for a global greedy sort)."""
+    alloc = {k: 0 for k in avail}
+    remaining = budget
+    active = {k for k, a in avail.items() if a > 0}
+    while remaining > 0 and active:
+        share = max(1, remaining // len(active))
+        progressed = False
+        for k in sorted(active):
+            t = min(share, avail[k] - alloc[k], remaining)
+            if t > 0:
+                alloc[k] += t
+                remaining -= t
+                progressed = True
+            if alloc[k] >= avail[k]:
+                active.discard(k)
+            if remaining <= 0:
+                break
+        if not progressed:
+            break
+    return {k: v for k, v in alloc.items() if v > 0}

@@ -66,7 +66,9 @@ def shard_centroids(points: DataFrame, assignment: DataFrame, vec_col: str = "ve
     )
     return agg.select(
         "shard",
-        F.array(*[(F.col(f"s{i}") / F.col("cnt")).cast("float") for i in range(d)]).alias("vec"),
+        # double, not float32: centroid → query distances must rank the same
+        # way as the float64/DuckDB oracles (ties aside)
+        F.array(*[(F.col(f"s{i}") / F.col("cnt")).cast("double") for i in range(d)]).alias("vec"),
     )
 
 
@@ -110,19 +112,20 @@ def score_routing_points(
             else:
                 idx = np.tile(np.arange(dists.shape[1]), (len(Q), 1))
             qids = pdf[q_id_col].to_numpy()
-            rows = {"q": [], "shard": [], "min_dist": [], "votes": []}
-            for i in range(len(Q)):
-                s_hit = sh[idx[i]]
-                d_hit = dists[i, idx[i]]
-                for s in np.unique(s_hit):
-                    m = s_hit == s
-                    rows["q"].append(qids[i])
-                    rows["shard"].append(s)
-                    rows["min_dist"].append(d_hit[m].min())
-                    rows["votes"].append(int(m.sum()))
-            yield pd.DataFrame(
-                {q_id_col: rows["q"], "shard": rows["shard"], "min_dist": rows["min_dist"], "votes": rows["votes"]}
+            # vectorized (query, shard) reduction — one groupby per Arrow
+            # batch instead of a Python loop per query
+            nv_eff = idx.shape[1]
+            flat = pd.DataFrame(
+                {
+                    q_id_col: np.repeat(qids, nv_eff),
+                    "shard": sh[idx.ravel()].astype(np.int32),
+                    "min_dist": np.take_along_axis(dists, idx, axis=1).ravel(),
+                }
             )
+            out = flat.groupby([q_id_col, "shard"], sort=False, as_index=False).agg(
+                min_dist=("min_dist", "min"), votes=("min_dist", "size")
+            )
+            yield out[[q_id_col, "shard", "min_dist", "votes"]]
 
     return queries.select(q_id_col, q_vec_col).mapInPandas(score, schema=schema)
 

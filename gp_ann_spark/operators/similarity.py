@@ -44,24 +44,34 @@ def brute_force_topk(
 def ivf_topk(
     embeddings: DataFrame, k: int = 10, n_cells: int = 16, nprobe: int = 3,
     metric: str = "l2", id_col: str = "vec_id", vec_col: str = "embedding",
-    n_iter: int = 8,
+    n_iter: int = 8, cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells, probe the ``nprobe`` nearest.
 
     Exactly the engine's route→probe→merge pipeline with k-means cells as
     shards: build (lloyd) → route (centroid scoring) → probe (cogrouped
     exact search) → merge. Recall rises with nprobe → n_cells (then exact).
+
+    ``cells`` (id, shard) supplies a precomputed cell assignment instead of
+    running lloyd — cell centroids are then the per-cell means. This is the
+    SQL-expressible variant the DuckDB oracle checks end-to-end.
     """
     pts = _as_points(embeddings, id_col, vec_col).cache()
-    centroids, assignment = KM.lloyd(pts, n_cells, n_iter=n_iter)
+    if cells is None:
+        centroids, assignment = KM.lloyd(pts, n_cells, n_iter=n_iter)
+        cent_df = pts.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "shard int, vec array<float>",
+        )
+    else:
+        assignment = cells.select("id", "shard")
+        cent_df = RT.shard_centroids(pts, assignment)
+        n_cells = cent_df.count()
     qs = pts.select(F.col("id").alias("query_id"), "vec")
     scored = RT.score_routing_points(
         qs,
-        pts.sparkSession.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "shard int, vec array<float>",
-        ),
-        num_voting=len(centroids),
+        cent_df,
+        num_voting=n_cells,
         metric=metric,
     )
     routes = RT.probe_order(scored, "min_dist").where(F.col("probe_rank") <= nprobe)
