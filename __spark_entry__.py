@@ -140,8 +140,12 @@ def q_minhash_band_pairs(spark, sf_dir):
     return DD.minhash_band_pairs(DD.minhash_signatures(_docs(spark, sf_dir)))
 
 
+MAX_DOC_FREQ = 100  # hub-shingle guard for candidate generation (mirrored
+# in the oracle SQL, so both engines see identical semantics)
+
+
 def q_jaccard_pairs(spark, sf_dir):
-    return DD.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+    return DD.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T, max_doc_freq=MAX_DOC_FREQ)
 
 
 def q_simhash(spark, sf_dir):
@@ -192,7 +196,24 @@ def q_label_centroids(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return DD.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=COS_T)
+    # exact, but via the distributed block-grid BLAS join (no crossJoin in
+    # the plan); block_size small enough to exercise a multi-block grid at
+    # test scale
+    return DD.embedding_neardup_blocked(_emb(spark, sf_dir), threshold=COS_T, block_size=256)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Approximate sign-LSH near-dup vs the exact result — invariant check:
+    perfect precision (verified subset) and recall ≥ 80%."""
+    emb = _emb(spark, sf_dir)
+    lsh = DD.embedding_neardup_lsh(emb, threshold=COS_T).localCheckpoint(eager=True)
+    exact = DD.embedding_neardup_blocked(emb, threshold=COS_T, block_size=256).localCheckpoint(eager=True)
+    n_lsh, n_exact = lsh.count(), exact.count()
+    false_pos = lsh.select("id_a", "id_b").join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(bool(false_pos == 0), bool(n_exact == 0 or n_lsh / n_exact >= 0.8))],
+        "exact_precision boolean, recall_ge_80pct boolean",
+    )
 
 
 # ---- non-SQL-expressible (iterative/UDF/approximate) → rows-only checks
@@ -356,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition_invariants": q_graph_partition_invariants,
         "kmeans_partition_invariants": q_kmeans_partition_invariants,
         "approx_knn_quality": q_approx_knn_quality,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
@@ -432,9 +454,20 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            rare AS (
+              SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+              WHERE df <= {MAX_DOC_FREQ}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN rare r ON a.shingle = r.shingle
+              JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+            ),
             inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
@@ -629,5 +662,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_knn_quality": (
             "SELECT count(*) AS n_srcs, true AS all_points_covered, "
             "true AS deg_le_k, true AS recall_ge_70pct FROM embeddings"
+        ),
+        "embedding_neardup_lsh": (
+            "SELECT true AS exact_precision, true AS recall_ge_80pct"
         ),
     }

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.distances import sql_distance
 from gp_ann_spark.operators.knn import exact_knn
 
 
@@ -27,6 +28,67 @@ def distance_to_kth_neighbor(gt: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold): the exact kth-NN distance
     (≙ ComputeDistanceToKthNeighbor recall.h:10-23)."""
     return gt.where(F.col("rank") == k).select("query_id", F.col("dist").alias("threshold"))
+
+
+EPS_GRID = tuple(10.0**-e for e in range(1, 11))  # 1e-1 .. 1e-10
+
+
+def validate_ground_truth(
+    gt: DataFrame, points: DataFrame, queries: DataFrame, k: int, metric: str = "l2",
+) -> tuple[DataFrame, DataFrame, dict]:
+    """GT sanity harness (≙ ConvertGroundTruthToDistanceToKthNeighbor,
+    recall.h:70-137): recompute every stored GT distance against the true
+    point/query vectors, count mismatches at |Δ| > 1e-8 and across the
+    ε-sweep 1e-1..1e-10, count mis-sorted neighbor lists before/after the
+    recomputation, REPAIR (true distances + re-sorted ranks), and extract
+    the kth-neighbor thresholds from the repaired lists.
+
+    Returns ``(repaired_gt, thresholds, report)`` where report mirrors the
+    reference's printed counters: ``distance_mismatches``,
+    ``wrong_by_eps[ε]``, ``wrong_sorts_before``, ``wrong_sorts_after``.
+
+    Scale shape: one equi-join of the (nq×k)-row GT with the point vectors,
+    queries broadcast; all counters come from a single aggregate pass.
+    """
+    pv = points.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("_pv"))
+    qv = queries.select("query_id", F.col("vec").alias("_qv"))
+    with_true = (
+        gt.join(pv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("true_dist", sql_distance(F.col("_qv"), F.col("_pv"), metric))
+        .drop("_pv", "_qv")
+        .localCheckpoint(eager=True)
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("rank")
+    flags = (
+        with_true.withColumn("_prev", F.lag("dist").over(w_rank))
+        .withColumn("_prev_true", F.lag("true_dist").over(w_rank))
+        .groupBy("query_id")
+        .agg(
+            F.max((F.col("dist") < F.col("_prev")).cast("int")).alias("bad_before"),
+            F.max((F.col("true_dist") < F.col("_prev_true")).cast("int")).alias("bad_after"),
+        )
+        .agg(F.sum("bad_before").alias("wsb"), F.sum("bad_after").alias("wsa"))
+    )
+    err = F.abs(F.col("dist") - F.col("true_dist"))
+    counts = with_true.agg(
+        F.sum((err > 1e-8).cast("long")).alias("mism"),
+        *[F.sum((err > e).cast("long")).alias(f"e{i}") for i, e in enumerate(EPS_GRID)],
+    )
+    crow = counts.collect()[0]
+    frow = flags.collect()[0]
+    report = {
+        "distance_mismatches": int(crow["mism"] or 0),
+        "wrong_by_eps": {e: int(crow[f"e{i}"] or 0) for i, e in enumerate(EPS_GRID)},
+        "wrong_sorts_before": int(frow["wsb"] or 0),
+        "wrong_sorts_after": int(frow["wsa"] or 0),
+    }
+    w_true = Window.partitionBy("query_id").orderBy(F.col("true_dist").asc(), F.col("neighbor_id").asc())
+    repaired = with_true.withColumn("rank", F.row_number().over(w_true)).select(
+        "query_id", "neighbor_id", F.col("true_dist").alias("dist"), "rank"
+    )
+    thresholds = repaired.where(F.col("rank") == k).select("query_id", F.col("dist").alias("threshold"))
+    return repaired, thresholds, report
 
 
 def recall(results: DataFrame, thresholds: DataFrame, k: int, n_queries: int, eps: float = 1e-9) -> float:

@@ -23,6 +23,10 @@ minhash_i = (a_i·(hex64 mod P) + b_i) mod P with P = 1e9+7.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -119,29 +123,52 @@ def jaccard_pairs(
     """n-gram Jaccard near-dup pairs ≥ threshold.
 
     Candidate generation = shingle inverted-index self-join (only pairs
-    sharing ≥1 shingle are ever scored). ``max_doc_freq`` drops hub shingles
-    (present in more than that many docs) — the explicit skew guard for the
-    self-join. If ``candidates`` (doc_a, doc_b) is given (e.g. from
-    minhash_band_pairs), verification is restricted to it.
-    Returns (doc_a, doc_b, jaccard) rounded to 6 dp.
+    sharing ≥1 shingle are ever scored). ``max_doc_freq`` is the explicit
+    skew guard: shingle document frequencies are computed with a *salted
+    two-phase aggregation* (hub shingles spread over many reducers) and
+    shingles present in more than ``max_doc_freq`` docs are excluded from
+    CANDIDATE GENERATION only — the Jaccard of every found pair is still
+    computed over the full shingle sets, so values are exact; only pairs
+    sharing *exclusively* hub shingles can be missed. If ``candidates``
+    (doc_a, doc_b) is given (e.g. from minhash_band_pairs), verification is
+    restricted to it. Returns (doc_a, doc_b, jaccard) rounded to 6 dp.
     """
     sh = doc_shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_doc_freq is not None:
-        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_doc_freq)
-        sh_join = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    else:
-        sh_join = sh
-    a = sh_join.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_join.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_doc_freq is not None and candidates is None:
+        from gp_ann_spark.operators.graph import salted_count
+
+        dfreq = salted_count(sh, "shingle", salt_src="doc_id")
+        rare = dfreq.where(F.col("count") <= max_doc_freq).select("shingle")
+        shr = sh.join(rare, "shingle", "left_semi")
+        ca = shr.select(F.col("doc_id").alias("doc_a"), "shingle")
+        cb = shr.select(F.col("doc_id").alias("doc_b"), "shingle")
+        candidates = (
+            ca.join(cb, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # exact intersections over the FULL shingle sets, candidate-bounded:
+        # |cand| × shingles work instead of the unguarded self-join
+        pa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        pb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(pa, "doc_a")
+            .join(pb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -202,8 +229,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold — brute-force Catalyst
     variant (small-N oracle; double-precision zip_with/aggregate math matches
-    DuckDB's list_cosine_similarity). The scale path buckets by IVF/LSH
-    first (see similarity.ivf_topk) and verifies within buckets only.
+    DuckDB's list_cosine_similarity). Scale paths:
+    ``embedding_neardup_blocked`` (exact, block-grid BLAS) and
+    ``embedding_neardup_lsh`` (approximate, sign-LSH candidates).
     Returns (id_a, id_b, cos_sim) rounded to 6 dp."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
@@ -213,6 +241,144 @@ def embedding_neardup_pairs(
     nb = F.sqrt(sql_inner_product(F.col("_vb"), F.col("_vb")))
     return (
         pairs.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_neardup_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold, distributed: block-grid join.
+
+    Points hash into ⌈n/block_size⌉ blocks; the (bi ≤ bj) block-pair grid is
+    a tiny broadcast relation; one cogrouped ``applyInPandas`` per block pair
+    runs a dense float64 BLAS similarity and emits only qualifying pairs.
+    No crossJoin operator, no O(n²) shuffled rows — each point is replicated
+    √P-style across its block-pair tasks, the canonical distributed exact
+    all-pairs shape. (Exact all-pairs is inherently O(n²) *compute*; for
+    approximate near-dup at scale use ``embedding_neardup_lsh``.)
+    """
+    spark = embeddings.sparkSession
+    pts = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = pts.count()
+    nb = max(1, math.ceil(n / block_size))
+    pts_b = pts.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
+    )
+    from gp_ann_spark.checkpoint import realias
+
+    left = pts_b.join(F.broadcast(grid), pts_b.b == F.col("bi")).select("bi", "bj", "id", "vec")
+    # fresh exprIds on the right copy: cogrouping two frames that share the
+    # (pts_b ⋈ grid) lineage trips the ambiguous-self-join check otherwise
+    pts_r, grid_r = realias(pts_b), realias(grid)
+    right = pts_r.join(F.broadcast(grid_r), pts_r.b == grid_r.bj).select("bi", "bj", "id", "vec")
+
+    def crunch(key, l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+        )
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return empty
+        A = np.stack(l_pdf["vec"].to_numpy()).astype(np.float64)
+        B = np.stack(r_pdf["vec"].to_numpy()).astype(np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        S = An @ Bn.T
+        ia = l_pdf["id"].to_numpy()
+        ib = r_pdf["id"].to_numpy()
+        # conservative in-UDF cut; the exact 6-dp threshold reapplies outside
+        mask = S >= threshold - 1e-6
+        if key[0] == key[1]:
+            # diagonal cell: both sides are the same block — upper triangle
+            mask &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(mask)
+        if len(r) == 0:
+            return empty
+        # canonical (min, max) order: in off-diagonal cells the pair's id
+        # order is independent of the block order
+        xa, xb = ia[r], ib[c]
+        return pd.DataFrame(
+            {"id_a": np.minimum(xa, xb), "id_b": np.maximum(xa, xb), "cos_sim": S[r, c]}
+        )
+
+    raw = left.groupBy("bi", "bj").cogroup(right.groupBy("bi", "bj")).applyInPandas(
+        crunch, schema="id_a long, id_b long, cos_sim double"
+    )
+    return (
+        raw.withColumn("cos_sim", F.round("cos_sim", 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_simhash_bands(
+    embeddings: DataFrame,
+    n_bands: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 555,
+) -> DataFrame:
+    """(id, band) relation: sign-LSH over the embedding — bit j of the
+    signature is the sign of coordinate perm(j) (deterministic seeded
+    dimension assignment), grouped into ``n_bands`` bands of ``band_bits``
+    bits. Docs within a small angle agree on most signs, so near pairs
+    collide in ≥1 band with high probability."""
+    dim_of = lambda bit: (bit * 2654435761 + seed) % 64  # noqa: E731 — seeded perm
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[
+                    (F.element_at(F.col(vec_col), dim_of(b * band_bits + r) + 1) >= 0).cast("int").cast("string")
+                    for r in range(band_bits)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return embeddings.select(F.col(id_col).alias("id"), F.explode(bands).alias("band"))
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: sign-LSH band candidates (equi-join —
+    never all-pairs), exact float64 cosine verification on candidates only.
+    Precision is exact (every returned pair truly ≥ threshold); recall is
+    1-(1-p^band_bits)^n_bands with p = 1 - θ/π — tune bands/bits to the
+    threshold. Returns (id_a, id_b, cos_sim) rounded to 6 dp.
+    """
+    banded = embedding_simhash_bands(embeddings, n_bands, band_bits, id_col, vec_col)
+    l_ = banded.select(F.col("id").alias("id_a"), "band")
+    r_ = banded.select(F.col("id").alias("id_b"), "band")
+    cand = (
+        l_.join(r_, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = sql_inner_product(F.col("_va"), F.col("_vb"))
+    na = F.sqrt(sql_inner_product(F.col("_va"), F.col("_va")))
+    nb_ = F.sqrt(sql_inner_product(F.col("_vb"), F.col("_vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(dot / (na * nb_), 6))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -162,12 +162,27 @@ def connected_components(
     max_iter: int = 50,
     checkpointer: SuperstepCheckpointer | None = None,
 ) -> DataFrame:
-    """Min-label propagation to fixpoint: component id = min vertex id in the
-    component (exact, deterministic). Returns ``(id, component)``.
+    """Min-label propagation **with pointer jumping** to fixpoint: component
+    id = min vertex id in the component (exact, deterministic). Returns
+    ``(id, component)``.
 
-    Each superstep: push current labels across (symmetrized) edges, take the
-    min per vertex; converged when no label changes. Edge table is
-    partitioned once on src and reused every superstep.
+    Each superstep does two label-shrinking moves:
+
+    1. *hash-min push*: take the min label over the (symmetrized) neighbors
+       — the classic propagation, distance +1 per step;
+    2. *pointer jump*: ``label(v) ← label(label(v))`` — a self-join of the
+       label table on ``component = id``, doubling the propagated distance.
+
+    Together convergence is O(log diameter) supersteps instead of
+    O(diameter) — the difference between ~12 and ~4000 rounds on the long
+    chain components a k-NN graph can contain. Labels only shrink and always
+    name a vertex of the same component, so the fixpoint is exactly the
+    per-component min (same output as plain min-propagation).
+
+    Scale notes: the edge table is partitioned once on src and reused every
+    superstep; the jump join's probe side is skewed toward popular labels
+    but each probe row matches exactly one build row (unique id) — AQE's
+    skew-join split keeps the hot partitions bounded.
     """
     spark = edges.sparkSession
     cp = checkpointer or SuperstepCheckpointer(None, "cc")
@@ -195,9 +210,15 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(pushed, labels.id == pushed.dst, "left")
             .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
+            .localCheckpoint(eager=True)  # break lineage before the self-join
+        )
+        ptr = stepped.select(F.col("id").alias("_pid"), F.col("component").alias("_pcomp"))
+        new_labels = (
+            stepped.join(ptr, stepped.component == ptr._pid, "left")
+            .select("id", F.coalesce("_pcomp", F.col("component")).alias("component"))
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
@@ -205,6 +226,7 @@ def connected_components(
             .count()
         )
         labels = cp.save(new_labels, it, {"changed": int(changed)})
+        release_local_checkpoint(stepped)
         if changed == 0:
             break
     sym.unpersist()

@@ -98,10 +98,28 @@ def rebalancing_kmeans_partition(
     points: DataFrame, num_shards: int, eps: float = 0.05, n_iter: int = 20,
     metric: str = "l2", seed: int = SEED,
 ) -> DataFrame:
-    """k-means + greedy re-migration of overflow to nearest non-full shard
-    (≙ RebalancingKMeansPartitioning partitioning.cpp:90-141) — same
-    machinery as balanced_lloyd's enforcement phase."""
-    return kmeans_partition(points, num_shards, eps=eps, n_iter=n_iter, metric=metric, seed=seed)
+    """Plain k-means, then ONE greedy re-migration of overflow points to
+    their nearest non-full shard with NO further centroid updates
+    (≙ RebalancingKMeansPartitioning partitioning.cpp:90-141 — "just skip
+    updating the centroids"). Distinct from ``kmeans_partition``, which
+    interleaves rebalancing with Lloyd rounds (balanced_lloyd)."""
+    n = points.count()
+    cap = max_cluster_size(n, num_shards, eps)
+    centroids, assignment = KM.lloyd(
+        points, num_shards, n_iter=n_iter, metric=metric, seed=seed, drop_empty=False
+    )
+    assignment = assignment.localCheckpoint(eager=True)
+    _, out = KM._enforce_cap(points.select("id", "vec"), assignment, centroids, cap, metric)
+    return out
+
+
+def duplicates_in_clusters(cover: DataFrame) -> DataFrame:
+    """Per-shard duplicate-entry diagnostic over a cover relation
+    (≙ convert.cpp:13-18): entries minus distinct ids, per shard."""
+    return cover.groupBy("shard").agg(
+        F.count("id").alias("total"),
+        (F.count("id") - F.countDistinct("id")).alias("duplicates"),
+    )
 
 
 def remap_shard_ids(assignment: DataFrame) -> DataFrame:

@@ -1,0 +1,194 @@
+"""Routing config sweep: the reference's headline recall/QPS experiment.
+
+Reference: ``src/routes.cpp`` — ``GenerateRouterConfigs`` (:120-163: budget
+grid 20k..10M × min_cluster_size 350 × 64 centroids, 128 for the largest
+budgets), ``IterateRoutingConfigs`` (:166-311: per budget, train the k-means
+tree router, emit KMeansTree + KMeansTree-Frequency routes over the
+num_voting grid {20..500}, then HNSW-router configs over the *extracted*
+routing points with 4 probe-order policies, plus a seeded Random baseline);
+``src/route_search_combination.cpp`` (:121-226: combine every route config
+with the in-shard search sweep into a (recall, QPS) grid and keep the Pareto
+front).
+
+Spark-first collapse (SURVEY §2.10 / routing.py docstring): the KMTR flat
+table IS the extracted HNSW routing-point set, and our scoring is exact
+broadcast top-k — so "KMeansTree", "KMeansTree-Frequency" and the four
+"HNSW-*" variants all reduce to ONE scored relation per (budget, num_voting)
+with a different pure-DataFrame probe-order policy each. The sweep is a
+driver-side loop over a tiny config grid; each config's work (train, score,
+search) is fully distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gp_ann_spark.checkpoint import release_local_checkpoint
+from gp_ann_spark.eval import recall as R
+from gp_ann_spark.operators import routing as RT
+from gp_ann_spark.operators import search as S
+from gp_ann_spark.operators import shard_searches as SS
+
+SEED = 555
+
+# scaled-down default grids (the reference's 20k..10M budgets target 10^9
+# points; these target the test corpus — pass the full grids at scale)
+DEFAULT_BUDGETS = (512, 2048)
+DEFAULT_NUM_VOTING = (20, 80, 200)
+
+
+def generate_router_configs(
+    budgets: Sequence[int] = DEFAULT_BUDGETS,
+    min_cluster_size: int = 350,
+) -> list[dict]:
+    """≙ GenerateRouterConfigs (routes.cpp:120-163): budget grid ×
+    min_cluster_size {350} × num_centroids {64} (+128 for budgets in the top
+    tier)."""
+    out = []
+    top = max(budgets)
+    for b in budgets:
+        out.append({"budget": int(b), "min_cluster_size": min_cluster_size, "num_centroids": 64})
+        if b == top and len(budgets) > 1:
+            out.append({"budget": int(b), "min_cluster_size": min_cluster_size, "num_centroids": 128})
+    return out
+
+
+def random_routes(queries: DataFrame, num_shards: int, seed: int = SEED) -> DataFrame:
+    """Seeded random probe order per query (≙ routes.cpp:269-285)."""
+    spark = queries.sparkSession
+    shards = F.broadcast(spark.createDataFrame([(int(s),) for s in range(num_shards)], "shard int"))
+    w = Window.partitionBy("query_id").orderBy(F.xxhash64("query_id", "shard", F.lit(seed)))
+    return (
+        queries.select("query_id")
+        .crossJoin(shards)
+        .withColumn("probe_rank", F.row_number().over(w))
+    )
+
+
+def iterate_routing_configs(
+    points: DataFrame,
+    assignment: DataFrame,
+    queries: DataFrame,
+    gt: DataFrame,
+    k: int = 10,
+    num_shards: int | None = None,
+    budgets: Sequence[int] = DEFAULT_BUDGETS,
+    num_voting_list: Sequence[int] = DEFAULT_NUM_VOTING,
+    policies: Sequence[str] = RT.POLICIES,
+    cover: DataFrame | None = None,
+    metric: str = "l2",
+    seed: int = SEED,
+) -> list[dict]:
+    """The config sweep (≙ IterateRoutingConfigs routes.cpp:166-311).
+
+    Returns one dict per route config: algorithm/budget/num_voting plus the
+    serializable ``routes`` relation and its max-first-shard recall.
+    """
+    cover = cover if cover is not None else assignment
+    num_shards = num_shards or (assignment.agg(F.max("shard")).collect()[0][0] + 1)
+    nq = queries.count()
+    out: list[dict] = []
+    for cfg in generate_router_configs(budgets):
+        rp = RT.train_kmeans_tree(
+            points,
+            assignment,
+            branching=cfg["num_centroids"],
+            min_cluster_size=cfg["min_cluster_size"],
+            max_nodes_per_shard=max(1, cfg["budget"] // num_shards),
+            seed=seed,
+        ).localCheckpoint(eager=True)
+        n_rp = rp.count()
+        for nv in num_voting_list:
+            scored = RT.score_routing_points(queries, rp, num_voting=nv, metric=metric).localCheckpoint(eager=True)
+            for policy in policies:
+                routes = RT.probe_order(scored, policy=policy)
+                fsr = R.first_shard_recall(gt, cover, routes, k, nq)
+                out.append(
+                    {
+                        "algorithm": f"KMeansTree-{policy}",
+                        "budget": cfg["budget"],
+                        "num_centroids": cfg["num_centroids"],
+                        "num_voting": nv,
+                        "n_routing_points": n_rp,
+                        "first_shard_recall": fsr,
+                        "routes": routes,
+                    }
+                )
+    rr = random_routes(queries, num_shards, seed).localCheckpoint(eager=True)
+    out.append(
+        {
+            "algorithm": "Random",
+            "budget": 0,
+            "num_centroids": 0,
+            "num_voting": 0,
+            "n_routing_points": 0,
+            "first_shard_recall": R.first_shard_recall(gt, cover, rr, k, nq),
+            "routes": rr,
+        }
+    )
+    return out
+
+
+def routing_sweep_pareto(
+    points: DataFrame,
+    assignment: DataFrame,
+    queries: DataFrame,
+    gt: DataFrame,
+    k: int = 10,
+    num_shards: int | None = None,
+    budgets: Sequence[int] = DEFAULT_BUDGETS,
+    num_voting_list: Sequence[int] = DEFAULT_NUM_VOTING,
+    nprobes_values: Iterable[int] | None = None,
+    policies: Sequence[str] = RT.POLICIES,
+    metric: str = "l2",
+    seed: int = SEED,
+) -> pd.DataFrame:
+    """End-to-end recall/QPS Pareto table (≙ route_search_combination.cpp:
+    121-226): every route config × the timed in-shard search sweep →
+    (config, nprobes, recall, qps) rows with a global Pareto flag.
+
+    Output is a config-grid-sized pandas frame (the reference also
+    post-processes driver-side); all heavy stages are DataFrame programs.
+    """
+    num_shards = num_shards or (assignment.agg(F.max("shard")).collect()[0][0] + 1)
+    nprobes_values = list(nprobes_values or range(1, num_shards + 1))
+    nq = queries.count()
+    configs = iterate_routing_configs(
+        points, assignment, queries, gt, k, num_shards, budgets, num_voting_list,
+        policies=policies, metric=metric, seed=seed,
+    )
+    sharded = S.shard_points(points, assignment).localCheckpoint(eager=True)
+    rows = []
+    for cfg in configs:
+        sr = SS.run_in_shard_searches(sharded, queries, cfg["routes"], k=k, metric=metric)
+        sr = sr.localCheckpoint(eager=True)
+        grid = SS.recall_qps_grid(sr, gt, k, nq, nprobes_values)
+        for _, g in grid.iterrows():
+            rows.append(
+                {
+                    "algorithm": cfg["algorithm"],
+                    "budget": cfg["budget"],
+                    "num_voting": cfg["num_voting"],
+                    "first_shard_recall": cfg["first_shard_recall"],
+                    "nprobes": int(g["nprobes"]),
+                    "recall": float(g["recall"]),
+                    "qps": float(g["qps"]),
+                }
+            )
+        release_local_checkpoint(sr)
+    release_local_checkpoint(sharded)
+    pdf = pd.DataFrame(rows)
+    # global Pareto across ALL configs (reference keeps the non-dominated set)
+    pdf["pareto"] = [
+        not any(
+            ((o.recall >= r.recall) and (o.qps > r.qps))
+            or ((o.recall > r.recall) and (o.qps >= r.qps))
+            for o in pdf.itertuples()
+        )
+        for r in pdf.itertuples()
+    ]
+    return pdf

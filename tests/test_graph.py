@@ -77,6 +77,18 @@ def test_connected_components_path_converges(spark):
     assert {r["component"] for r in labels.collect()} == {0}
 
 
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer jumping must converge in O(log diameter) supersteps:
+    a 64-vertex path (diameter 63) needs ≤ 10 rounds, not ~63."""
+    from gp_ann_spark.checkpoint import SuperstepCheckpointer
+
+    cp = SuperstepCheckpointer(None, "cc_chain")
+    labels = G.connected_components(make_edges_df(spark, path_graph(64)), checkpointer=cp)
+    assert {r["component"] for r in labels.collect()} == {0}
+    n_supersteps = len(cp.history) - 1  # history[0] is the init save
+    assert n_supersteps <= 10, f"expected O(log n) rounds, took {n_supersteps}"
+
+
 def test_label_propagation_cliques(spark):
     """After LP on two bridged cliques, each clique converges to its lowest
     label (deterministic lowest-label tie-break)."""

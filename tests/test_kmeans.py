@@ -91,3 +91,52 @@ def test_bkm_plus_balances_with_good_objective(spark, rng):
     labels = {r["id"]: r["shard"] for r in asn.collect()}
     assert len({labels[i] for i in range(80, 90)}) == 1
     assert len({labels[i] for i in range(90, 100)}) == 1
+
+
+def numpy_mips_superstep(X, C):
+    """Step simulator for the reference's MIPS spherical update
+    (kmeans.cpp:72-100): assign by 1-⟨p,c⟩, sum members with weight 1/‖p‖,
+    rescale so ‖C‖² equals the mean member ‖p‖²."""
+    d = 1.0 - X @ C.T
+    a = d.argmin(axis=1)
+    new_c = C.copy()
+    for j in range(len(C)):
+        m = a == j
+        if not m.any():
+            continue
+        norms = np.linalg.norm(X[m], axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        s = (X[m] / safe[:, None]).sum(axis=0)
+        desired = float((norms**2).mean())
+        cur = float((s * s).sum())
+        new_c[j] = s * np.sqrt(desired / cur) if cur > 0 else s
+    return new_c
+
+
+def test_mips_superstep_matches_numpy_simulator(spark, rng):
+    X32 = rng.normal(size=(90, 6)).astype(np.float32)
+    X = X32.astype(np.float64)  # the DataFrame stores float32 — mirror it
+    df = make_points_df(spark, X32).cache()
+    C = KM.seeded_sample_centroids(df, 4)
+    Cn = C.copy()
+    Cs = C.copy()
+    for _ in range(3):
+        Cs, sizes, _ = KM._superstep(df, Cs, "mips", "id", "vec")
+        Cn = numpy_mips_superstep(X, Cn)
+        np.testing.assert_allclose(Cs, Cn, atol=1e-6)
+    assert sizes.sum() == 90
+
+
+def test_mips_lloyd_matches_simulator_end_to_end(spark, rng):
+    X32 = (rng.normal(size=(120, 8)) * 2.0).astype(np.float32)
+    X = X32.astype(np.float64)
+    df = make_points_df(spark, X32).cache()
+    cents, asn = KM.lloyd(df, 3, n_iter=6, metric="mips")
+    Cn = KM.seeded_sample_centroids(df, 3)
+    for _ in range(6):
+        Cn = numpy_mips_superstep(X, Cn)
+    np.testing.assert_allclose(cents, Cn, atol=1e-6)
+    # and the returned assignment is the argmin against those centroids
+    labels = {r["id"]: r["shard"] for r in asn.collect()}
+    expect = (1.0 - X @ Cn.T).argmin(axis=1)
+    assert all(labels[i] == expect[i] for i in range(len(X)))

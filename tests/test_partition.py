@@ -111,3 +111,32 @@ def test_overlapping_kmeans_partition(spark, rng):
     assert 0 < n_extra <= 30  # budget = 0.25 * 120
     assert cover.distinct().count() == cover.count()
     assert asn.exceptAll(cover).count() == 0
+
+
+def test_rebalancing_kmeans_partition_distinct_path(spark, rng):
+    X = np.vstack(
+        [rng.normal(c, 0.3, size=(n, 6)) for c, n in ((np.zeros(6), 70), (np.ones(6) * 5, 20), (np.ones(6) * 10, 10))]
+    )
+    pts = make_points_df(spark, X).cache()
+    asn = P.rebalancing_kmeans_partition(pts, 4, eps=0.05, n_iter=6)
+    sizes = [r["c"] for r in asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert sum(sizes) == 100
+    assert max(sizes) <= P.max_cluster_size(100, 4, 0.05)
+
+
+def test_duplicates_in_clusters_diagnostic(spark):
+    cover = spark.createDataFrame(
+        [(0, 0), (1, 0), (1, 0), (2, 1), (3, 1)], "id long, shard int"
+    )
+    out = {r["shard"]: (r["total"], r["duplicates"]) for r in P.duplicates_in_clusters(cover).collect()}
+    assert out[0] == (3, 1) and out[1] == (2, 0)
+
+
+def test_bucket_size_stats(spark):
+    from gp_ann_spark.operators import knn_approx as KA
+
+    rows = [(i, [0.0], i % 4) for i in range(40)]  # 4 buckets of 10
+    bucketed = spark.createDataFrame(rows, "id long, vec array<float>, bucket long")
+    r = KA.bucket_size_stats(bucketed).collect()[0]
+    assert r["n_buckets"] == 4 and abs(r["avg_size"] - 10.0) < 1e-9
+    assert r["quantiles"][0] == 10.0 and r["quantiles"][-1] == 10.0

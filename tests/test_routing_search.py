@@ -104,3 +104,50 @@ def test_pareto_front(spark):
     df = spark.createDataFrame(rows, "recall double, qps double")
     got = {(r["recall"], r["qps"]) for r in R.pareto_front(df).collect()}
     assert got == {(0.95, 20.0), (0.9, 100.0), (0.8, 200.0)}
+
+
+def test_validate_ground_truth_detects_and_repairs(spark, rng):
+    X = rng.normal(size=(60, 6)).astype(np.float32)
+    pts = make_points_df(spark, X).cache()
+    qs = pts.where(F.col("id") < 8).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    gt = R.ground_truth(pts, qs, k=5).localCheckpoint(eager=True)
+
+    # clean GT validates clean (float32-storage noise < 1e-6 can register in
+    # the tight eps tiers — that is exactly what the sweep is for)
+    _, thr_clean, rep = R.validate_ground_truth(gt, pts, qs, k=5)
+    assert rep["wrong_sorts_before"] == 0 and rep["wrong_sorts_after"] == 0
+    assert rep["wrong_by_eps"][1e-1] == 0
+
+    # corrupt: perturb one distance by 0.5 and swap ranks 1<->2 for query 0
+    corrupted = gt.withColumn(
+        "dist",
+        F.when((F.col("query_id") == 0) & (F.col("rank") == 3), F.col("dist") + 0.5).otherwise(F.col("dist")),
+    ).withColumn(
+        "rank",
+        F.when((F.col("query_id") == 0) & (F.col("rank") == 1), 2)
+        .when((F.col("query_id") == 0) & (F.col("rank") == 2), 1)
+        .otherwise(F.col("rank")),
+    )
+    repaired, thr, rep2 = R.validate_ground_truth(corrupted, pts, qs, k=5)
+    assert rep2["distance_mismatches"] >= 1
+    assert rep2["wrong_by_eps"][1e-1] == 1  # the 0.5 perturbation
+    assert rep2["wrong_sorts_before"] >= 1  # the swapped ranks
+    # a rank swap is still mis-sorted after distance recomputation (the
+    # reference counts exactly this before its repair sort, recall.h:116-120)
+    assert rep2["wrong_sorts_after"] == 1
+    # ...and the REPAIRED frame is rank-sorted by distance
+    w = Window.partitionBy("query_id").orderBy("rank")
+    unsorted = (
+        repaired.withColumn("_p", F.lag("dist").over(w))
+        .where(F.col("dist") < F.col("_p"))
+        .count()
+    )
+    assert unsorted == 0
+    # repaired thresholds equal the clean ones
+    diff = (
+        thr.withColumnRenamed("threshold", "a")
+        .join(thr_clean.withColumnRenamed("threshold", "b"), "query_id")
+        .where(F.abs(F.col("a") - F.col("b")) > 1e-9)
+        .count()
+    )
+    assert diff == 0

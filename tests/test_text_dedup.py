@@ -108,3 +108,32 @@ def test_multimodal_stub_pipeline(spark):
     # deterministic
     pdf2 = MM.extract_features(MM.synth_media(spark, 30), dim=8).toPandas()
     assert sorted(map(tuple, pdf["feature"])) == sorted(map(tuple, pdf2["feature"]))
+
+
+def _emb_df(spark, rng, n=120, d=64):
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    # plant a few true near-dup pairs
+    for i in range(0, 12, 2):
+        base[i + 1] = base[i] + rng.normal(scale=0.05, size=d).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup_blocked_equals_bruteforce(spark, rng):
+    emb = _emb_df(spark, rng).cache()
+    brute = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in D.embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in D.embedding_neardup_blocked(emb, threshold=0.9, block_size=32).collect()
+    }
+    assert set(brute) == set(blocked) and len(brute) >= 6
+    for k in brute:
+        assert abs(brute[k] - blocked[k]) < 1e-6
+
+
+def test_embedding_neardup_lsh_precision_and_recall(spark, rng):
+    emb = _emb_df(spark, rng).cache()
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_blocked(emb, threshold=0.9, block_size=32).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(emb, threshold=0.9).collect()}
+    assert lsh <= exact  # verified candidates → perfect precision
+    assert len(lsh) / len(exact) >= 0.8  # sign-LSH recall at cos≥0.9
