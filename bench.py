@@ -55,11 +55,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
     state: dict = {}
+    bench_start = time.time()
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "400"))
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    # warmup: JVM codegen + Arrow python-worker pool, so the first timed
+    # query measures the operator, not process spin-up
+    spark.range(10_000_000).agg(F.sum("id")).collect()
+    KNN.exact_knn(points, points.select(F.col("id").alias("query_id"), "vec").limit(64), k=5).count()
+
+    def timed(name, fn, reps=2):
+        """min-of-``reps`` — this sandbox VM shows 2-3× run-to-run noise from
+        outside contention; the min is the steady-state engine number. The
+        second rep is skipped once the global budget is spent."""
+        best = float("inf")
+        out = None
+        for r in range(reps):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+            if time.time() - bench_start > budget_s:
+                break
+        timings[name] = round(best, 3)
         return out
 
     # 1. exact k-NN edge table (oracle path, broadcast top-k scoring)
@@ -86,7 +102,12 @@ def main() -> None:
     )
     extra["imbalance"] = round(P.imbalance(asn, NUM_SHARDS), 4)
     # 7. route + probe + recall curve (1000-query batch, ≙ eval harness)
-    qs = points.select(F.col("id").alias("query_id"), "vec").limit(min(1000, n_points)).localCheckpoint(eager=True)
+    # deterministic query set (limit() is partition-order dependent)
+    qs = (
+        points.where(F.col("id") < min(1000, n_points))
+        .select(F.col("id").alias("query_id"), "vec")
+        .localCheckpoint(eager=True)
+    )
     nq = qs.count()
     gt = R.ground_truth(points, qs, k=K).localCheckpoint(eager=True)
 

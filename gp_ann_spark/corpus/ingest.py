@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.windows import bounded_global_window
+
 DIM = 64  # fixed featurizer dimensionality (FIXTURES.md §2)
 
 
@@ -59,7 +61,7 @@ def dense_ids(df: DataFrame, order_col: str = "sha256", scalable: bool = True) -
       oracle comparisons).
     """
     if not scalable:
-        w = Window.orderBy(order_col)
+        w = bounded_global_window(order_col)  # explicitly small-n path
         return df.withColumn("id", F.row_number().over(w).cast("long") - 1)
 
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
@@ -75,7 +77,7 @@ def dense_ids(df: DataFrame, order_col: str = "sha256", scalable: bool = True) -
     offsets = counts.withColumn(
         "_offset",
         F.coalesce(
-            F.sum("count").over(Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+            F.sum("count").over(bounded_global_window("_pid").rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         ),
     ).select("_pid", "_offset")

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.windows import bounded_global_window
+
 from gp_ann_spark.functions.distances import sql_distance
 from gp_ann_spark.operators.knn import exact_knn
 
@@ -143,7 +145,7 @@ def recall_vs_probes(
         .agg(F.min("probe_rank").alias("first_probe"))
     )
     per_rank = first_found.groupBy(F.col("first_probe").alias("nprobes")).agg(F.count(F.lit(1)).alias("found"))
-    w = Window.orderBy("nprobes").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window("nprobes").rowsBetween(Window.unboundedPreceding, 0)
     return per_rank.withColumn("recall", F.sum("found").over(w) / (n_queries * k)).select("nprobes", "recall")
 
 
@@ -177,7 +179,7 @@ def pareto_front(configs: DataFrame, x: str = "recall", y: str = "qps") -> DataF
     """Drop dominated (recall, QPS) configs (≙ route_search_combination.cpp:
     193-218): keep rows where no other row is ≥ in both dims (> in one).
     Config grids are tiny — a window over recall-descending order suffices."""
-    w = Window.orderBy(F.col(x).desc(), F.col(y).desc()).rowsBetween(Window.unboundedPreceding, -1)
+    w = bounded_global_window(F.col(x).desc(), F.col(y).desc()).rowsBetween(Window.unboundedPreceding, -1)
     return (
         configs.withColumn("_best_y", F.max(y).over(w))
         .where(F.col("_best_y").isNull() | (F.col(y) > F.col("_best_y")))

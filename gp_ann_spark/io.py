@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.windows import bounded_global_window
+
 
 def write_assignment(assignment: DataFrame, path: str, partition_by_shard: bool = True) -> None:
     """Parquet sink; partitioning by shard makes every shard-filtered read a
@@ -52,7 +54,7 @@ def read_metis_partition(spark: SparkSession, path: str) -> DataFrame:
         [(i, s) for i, s in enumerate(shards)], "id long, shard int"
     )
     dense = df.select("shard").distinct().withColumn(
-        "_new", F.dense_rank().over(Window.orderBy("shard")) - 1
+        "_new", F.dense_rank().over(bounded_global_window("shard")) - 1
     )
     return df.join(F.broadcast(dense), "shard").select("id", F.col("_new").cast("int").alias("shard"))
 
@@ -99,9 +101,73 @@ def write_metis_graph(edges: DataFrame, path: str) -> None:
             f.write(" ".join(str(u + 1) for u in by_src.get(v, [])) + "\n")
 
 
+BIN_DTYPES = {"fbin": "<f4", "u8bin": "u1", "i8bin": "i1"}
+
+
+def read_points_bin(
+    spark: SparkSession, path: str, fmt: str = "fbin", limit: int | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Read the reference's raw binary point format: header ``(n:u32, d:u32)``
+    then n·d little-endian values (≙ ReadPoints points_io.cpp:14-61;
+    u8bin/i8bin are byte points widened to float — internal::ReadBytes
+    points_io.cpp:63-111). ``limit`` truncates like the reference's ``size``.
+
+    Distributed chunked read: each task seeks its own row range of the file
+    (the reference's parallel seek loop, :42-55). The path must be visible to
+    every executor (shared FS / object store) — same assumption the
+    reference makes of its local file.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    if fmt not in BIN_DTYPES:
+        raise ValueError(f"fmt must be one of {sorted(BIN_DTYPES)}")
+    dtype = np.dtype(BIN_DTYPES[fmt])
+    with open(path, "rb") as f:
+        n, d = struct.unpack("<II", f.read(8))
+    if limit is not None:
+        n = min(n, limit)
+    nchunks = max(1, parallelism or spark.sparkContext.defaultParallelism)
+    rows_per = -(-n // nchunks)
+
+    def read_chunk(batches):
+        for pdf in batches:
+            for cid in pdf["id"].to_numpy():
+                start = int(cid) * rows_per
+                end = min(n, start + rows_per)
+                if start >= end:
+                    continue
+                with open(path, "rb") as f:
+                    f.seek(8 + start * d * dtype.itemsize)
+                    buf = np.fromfile(f, dtype=dtype, count=(end - start) * d)
+                X = buf.reshape(-1, d).astype(np.float32)  # u8/i8 widen here
+                yield pd.DataFrame({"id": np.arange(start, end, dtype=np.int64), "vec": list(X)})
+
+    return spark.range(nchunks).mapInPandas(read_chunk, schema="id long, vec array<float>")
+
+
+def write_points_bin(points: DataFrame, path: str, fmt: str = "fbin") -> None:
+    """≙ WritePoints (points_io.cpp:126-133): single-file (n,d)-header binary
+    — a driver-side interchange artifact (the format is inherently one
+    position-indexed file); Parquet is the scale sink."""
+    import struct
+
+    import numpy as np
+
+    pdf = points.select("id", "vec").orderBy("id").toPandas()
+    X = np.stack(pdf["vec"].to_numpy())
+    dtype = np.dtype(BIN_DTYPES[fmt])
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", X.shape[0], X.shape[1]))
+        X.astype(dtype).tofile(f)
+
+
 def write_points(points: DataFrame, path: str) -> None:
     """≙ WritePoints (points_io.cpp:126-133) — Parquet replaces the raw
-    (n, d)-header binary format."""
+    (n, d)-header binary format for the scale path."""
     points.write.mode("overwrite").parquet(path)
 
 

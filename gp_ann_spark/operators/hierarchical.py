@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.windows import bounded_global_window
+
 from gp_ann_spark.checkpoint import swap_checkpoint
 from gp_ann_spark.operators import kmeans as KM
 from gp_ann_spark.operators import knn as KNN
@@ -84,7 +86,7 @@ def hierarchical_kmeans(
 
     # densify leaf ids + centroids (partial/final mean via shard_centroids)
     dense = asn.select("leaf").distinct().withColumn(
-        "_n", F.row_number().over(Window.orderBy("leaf")) - 1
+        "_n", F.row_number().over(bounded_global_window("leaf")) - 1
     )
     asn = asn.join(F.broadcast(dense), "leaf").select("id", F.col("_n").cast("long").alias("leaf"))
     from gp_ann_spark.operators.routing import shard_centroids

@@ -53,11 +53,27 @@ REPETITIONS = 3
 SEED = 555
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over an int64/uint64 array (wrapping math)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x.astype(np.int64)
+
+
 def _assign_to_leaders(
     pts: DataFrame, leaders: DataFrame, fanout: int, metric: str,
 ) -> DataFrame:
     """Within each bucket, assign every point to its top-``fanout`` closest
-    leaders; new bucket = old * MAX_LEADERS+1 + leader_rank (path encoding).
+    leaders; new bucket = splitmix64(old·φ + leader_rank + 1) — a HASH path
+    encoding instead of positional (old·MAX_LEADERS + rank), so bucket ids
+    never need a per-level global renumbering (the round-1 densify pass cost
+    ~6 driver jobs per level per repetition). A 64-bit collision merges two
+    buckets — harmless in an approximate builder: distances are exact inside
+    the merged bucket and the oversize guard re-splits it.
     Cogrouped applyInPandas: one dense (m×d)@(L×d) BLAS per bucket
     (≙ ClosestLeaders defs.cpp:87-96 at bucket granularity)."""
 
@@ -65,18 +81,19 @@ def _assign_to_leaders(
         if len(pts_pdf) == 0:
             return pd.DataFrame({"id": [], "bucket": []}).astype({"id": "int64", "bucket": "int64"})
         if len(lead_pdf) == 0:  # no leaders sampled (tiny bucket) — keep as-is
-            return pd.DataFrame({"id": pts_pdf["id"], "bucket": pts_pdf["bucket"] * (MAX_LEADERS + 1)})
+            return pd.DataFrame({"id": pts_pdf["id"], "bucket": pts_pdf["bucket"]})
         X = np.stack(pts_pdf["vec"].to_numpy()).astype(np.float64)
         L = np.stack(lead_pdf["vec"].to_numpy()).astype(np.float64)
         ranks = lead_pdf["leader_rank"].to_numpy()
         d = distance_matrix(X, L, metric)
         f = min(fanout, d.shape[1])
         idx = np.argpartition(d, f - 1, axis=1)[:, :f] if f < d.shape[1] else np.tile(np.arange(d.shape[1]), (len(X), 1))
-        base = pts_pdf["bucket"].to_numpy() * (MAX_LEADERS + 1)
+        base = pts_pdf["bucket"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        child = np.repeat(base, idx.shape[1]) + (ranks[idx.ravel()].astype(np.uint64) + np.uint64(1))
         return pd.DataFrame(
             {
                 "id": np.repeat(pts_pdf["id"].to_numpy(), idx.shape[1]),
-                "bucket": np.repeat(base, idx.shape[1]) + ranks[idx.ravel()] + 1,
+                "bucket": _mix64(child),
             }
         )
 
@@ -110,41 +127,6 @@ def _bucket_bruteforce(bucketed: DataFrame, k: int, metric: str) -> DataFrame:
         )
 
     return bucketed.groupBy("bucket").applyInPandas(crunch, schema="src long, dst long, weight double")
-
-
-def _densify_hash(keys: DataFrame, col: str = "bucket", out: str = "_nb") -> DataFrame:
-    """Dense 0..B-1 ids for a distinct-key table WITHOUT a global window.
-
-    Bucket ids only need to be dense + deterministic, not ordered, so: hash-
-    repartition by key (stable layout, unlike range-sampling), rank locally
-    per partition, add driver-computed partition offsets (≤ #partitions rows
-    collected). Scales to any B; zero single-partition stages.
-    """
-    spark = keys.sparkSession
-    nparts = max(spark.sparkContext.defaultParallelism, 1)
-    parted = (
-        keys.repartition(nparts, col)
-        .sortWithinPartitions(col)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # also breaks self-join lineage at use site
-    )
-    cnt = sorted(
-        ((int(r["_pid"]), int(r["count"])) for r in parted.groupBy("_pid").count().collect())
-    )
-    offs, acc = [], 0
-    for pid, c in cnt:
-        offs.append((pid, acc))
-        acc += c
-    off_df = F.broadcast(spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long"))
-    local = F.row_number().over(Window.partitionBy("_pid").orderBy(col)).cast("long") - 1
-    result = (
-        parted.withColumn("_local", local)
-        .join(off_df, "_pid")
-        .select(col, (F.col("_off") + F.col("_local")).alias(out))
-        .localCheckpoint(eager=True)
-    )
-    release_local_checkpoint(parted)
-    return result
 
 
 def _merge_small_buckets(
@@ -206,20 +188,28 @@ def _force_split_big_buckets(pts: DataFrame, max_cluster_size: int, seed: int) -
     sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     big = sizes.where(F.col("n") > max_cluster_size)
     if big.limit(1).count() == 0:
+        release_local_checkpoint(sizes)
         return pts
     splits = big.select("bucket", F.ceil(F.col("n") / max_cluster_size).cast("long").alias("_ns"))
-    offset = 1 + (sizes.agg(F.max("bucket")).collect()[0][0] or 0)
-    return (
+    out = (
         pts.join(F.broadcast(splits), "bucket", "left")
         .select(
             "id",
             "vec",
             F.when(
                 F.col("_ns").isNotNull(),
-                F.lit(offset) + F.col("bucket") * 1024 + F.pmod(F.xxhash64("id", F.lit(seed), F.lit("split")), F.col("_ns")),
+                # hash-namespace the split children (bucket ids are already
+                # mixed hashes — positional offsets would overflow int64)
+                F.xxhash64(
+                    "bucket", F.lit(seed), F.lit("split"),
+                    F.pmod(F.xxhash64("id", F.lit(seed), F.lit("split")), F.col("_ns")),
+                ),
             ).otherwise(F.col("bucket")).alias("bucket"),
         )
     )
+    # NOTE: sizes stays checkpointed — `out` is lazy and still reads the
+    # broadcast splits derived from it; it is tiny (one row per bucket).
+    return out
 
 
 def build_knn_graph(
@@ -276,18 +266,12 @@ def build_knn_graph(
             level_fanout = fanout if depth == 0 else 1
             reassigned = _assign_to_leaders(big_pts, _realias(leaders), level_fanout, metric)
             new_pts = reassigned.join(points.select("id", "vec"), "id").select("id", "vec", "bucket")
-            # Done buckets keep ids < 0, split buckets get fresh ids ≥ 0:
-            # densify every level so path-encoded ids never overflow int64
-            # (the raw encoding would overflow by depth 6). Hash-local
-            # ranking — NOT a global dense_rank window, which would funnel
-            # every distinct bucket through one partition per level per rep.
-            merged = done_pts.select("id", "vec", (-F.col("bucket") - 1).alias("bucket")).unionByName(new_pts)
-            bmap = _densify_hash(merged.select("bucket").distinct())
-            pts = swap_checkpoint(
-                merged.join(F.broadcast(bmap), "bucket").select("id", "vec", F.col("_nb").alias("bucket")),
-                pts,
-            )
-            for aux in (sizes, leaders, bmap):
+            # hash path encoding (see _assign_to_leaders): done buckets keep
+            # their ids, split buckets get mixed-hash children — no per-level
+            # renumbering pass, no global window, no id overflow.
+            merged = done_pts.unionByName(new_pts)
+            pts = swap_checkpoint(merged, pts)
+            for aux in (sizes, leaders):
                 release_local_checkpoint(aux)
         pts = _force_split_big_buckets(pts, max_cluster_size, seed + rep)
         pts = _merge_small_buckets(pts).dropDuplicates(["bucket", "id"])

@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.windows import bounded_global_window
+
 from gp_ann_spark.operators import kmeans as KM
 from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
 from gp_ann_spark.operators.graph import vertices
@@ -126,7 +128,7 @@ def remap_shard_ids(assignment: DataFrame) -> DataFrame:
     """Densify shard ids 0..k-1 (≙ RemapPartitionIDs defs.cpp:64-79) —
     dense_rank over the (tiny) distinct-shard dim table, broadcast back."""
     distinct = assignment.select("shard").distinct().withColumn(
-        "_new", F.dense_rank().over(Window.orderBy("shard")) - 1
+        "_new", F.dense_rank().over(bounded_global_window("shard")) - 1
     )
     return (
         assignment.join(F.broadcast(distinct), "shard")

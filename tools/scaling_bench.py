@@ -59,7 +59,14 @@ def run_stage(cpus: int) -> dict[str, float]:
     from gp_ann_spark.operators import knn as KNN
     from gp_ann_spark.session import get_spark
 
-    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # FIXED partition count across levels (4×max level): with
+    # shuffle_partitions=cpus the low level runs 2 huge spilling partitions
+    # while the high level runs 8 small ones — per-task memory footprint
+    # would differ between levels and pollute the efficiency number. Fixed
+    # partitioning makes core count the only variable, exactly like keeping
+    # the same dataset partitioning while growing a real cluster N → 4N.
+    n_parts = 4 * max(LEVELS)
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=n_parts)
     out: dict[str, float] = {"cpus": cpus}
 
     def timed_min(fn):
@@ -78,13 +85,13 @@ def run_stage(cpus: int) -> dict[str, float]:
     wpts.unpersist()
 
     # 1. corpus featurization
-    repos = generate_repos(spark, N_ROWS, n_parts=cpus * 2)
+    repos = generate_repos(spark, N_ROWS, n_parts=n_parts)
     n_pts = repos_to_points(repos).count()
     out["featurize_sec"] = timed_min(lambda: repos_to_points(repos).count())
     out["featurize_rows_per_s"] = N_ROWS / out["featurize_sec"]
 
     # 2. knn query throughput (broadcast top-k scoring)
-    pts = synthetic_points(spark, N_KNN_POINTS).repartition(cpus * 2).cache()
+    pts = synthetic_points(spark, N_KNN_POINTS).repartition(n_parts).cache()
     pts.count()
     qs = synthetic_points(spark, N_QUERIES, seed=99).select(F.col("id").alias("query_id"), "vec")
     out["knn_sec"] = timed_min(lambda: KNN.exact_knn(pts, qs, k=10).count())
@@ -98,7 +105,7 @@ def run_stage(cpus: int) -> dict[str, float]:
             (F.pmod(F.xxhash64("id", F.lit(2)), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(N_EDGES_V)) + 1)).alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .repartition(cpus * 2)
+        .repartition(n_parts)
         .cache()
     )
     n_edges = edges.count()
