@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 from gp_ann_spark.operators import dedup as DD
 from gp_ann_spark.operators import graph as G
+from gp_ann_spark.operators import hierarchical as HH
+from gp_ann_spark.operators import kmeans as KM
+from gp_ann_spark.operators import sweep as SW
 from gp_ann_spark.operators import knn as KNN
 from gp_ann_spark.operators import knn_approx as KA
 from gp_ann_spark.operators import multimodal as MM
@@ -299,6 +302,124 @@ def q_kmeans_partition_invariants(spark, sf_dir):
     return _partition_invariants(spark, sf_dir, asn, 8)
 
 
+def q_pyramid_partition_invariants(spark, sf_dir):
+    pts = _points(spark, sf_dir).cache()
+    asn = HH.pyramid_partition(pts, 8, n_aggregates=64).localCheckpoint(eager=True)
+    return _partition_invariants(spark, sf_dir, asn, 8)
+
+
+def q_recursive_partition_invariants(spark, sf_dir):
+    """RecursiveKMeansPartitioning contract (partitioning.cpp:12-88): may
+    SPLIT beyond the requested shard count, but every shard respects the
+    original (1+ε)n/s cap and every point is covered."""
+    pts = _points(spark, sf_dir).cache()
+    asn = P.recursive_kmeans_partition(pts, 8, n_iter=6).localCheckpoint(eager=True)
+    n = _emb(spark, sf_dir).count()
+    cap = P.max_cluster_size(n, 8, eps=0.05)
+    sizes = asn.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("k"), F.max("cnt").alias("mx"), F.sum("cnt").alias("rows")
+    ).collect()[0]
+    n_ids = asn.select("id").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_ids), bool(stats["k"] >= 8), bool(stats["mx"] <= cap), bool(n_ids == n and stats["rows"] == n))],
+        "n_points long, shards_ge_requested boolean, within_cap boolean, full_coverage boolean",
+    )
+
+
+def q_our_pyramid_invariants(spark, sf_dir):
+    """OurPyramid (partitioning.cpp:509-552) balances at LEAF granularity —
+    the point-level bound is cap + the largest leaf."""
+    pts = _points(spark, sf_dir).cache()
+    asn, leaf_cents = HH.our_pyramid_partition(pts, 8, target_leaf_size=50)
+    asn = asn.localCheckpoint(eager=True)
+    n = _emb(spark, sf_dir).count()
+    cap = P.max_cluster_size(n, 8, eps=0.05)
+    max_leaf = leaf_cents.agg(F.max("size")).collect()[0][0]
+    mx = asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c")).collect()[0][0]
+    n_ids = asn.select("id").distinct().count()
+    n_shards = asn.select("shard").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_ids), int(n_shards), bool(mx <= cap + max_leaf), bool(n_ids == n))],
+        "n_points long, n_shards long, within_granularity_cap boolean, full_coverage boolean",
+    )
+
+
+def q_bkm_partition_invariants(spark, sf_dir):
+    """BKM+ contract (kmeans.cpp:253-524): hard cap, full coverage."""
+    pts = _points(spark, sf_dir).cache()
+    n = _emb(spark, sf_dir).count()
+    cap = P.max_cluster_size(n, 8, eps=0.05)
+    _, asn = KM.balanced_kmeans_bkm(pts, 8, cap, n_lloyd_iter=6, max_rounds=12)
+    asn = asn.localCheckpoint(eager=True)
+    mx = asn.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c")).collect()[0][0]
+    n_ids = asn.select("id").distinct().count()
+    n_shards = asn.select("shard").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_ids), bool(n_shards <= 8), bool(mx <= cap), bool(n_ids == n))],
+        "n_points long, shards_le_requested boolean, within_cap boolean, full_coverage boolean",
+    )
+
+
+def q_overlap_cover_invariants(spark, sf_dir):
+    """OGP cover contract (overlapping_partitioning.cpp:50-141): the base
+    assignment is contained, extras respect the o·n budget, no duplicate
+    (id, shard) rows, every point stays covered."""
+    edges = _edges(spark, sf_dir)
+    base = P.graph_partition(edges, num_shards=8, coarse_target=64).localCheckpoint(eager=True)
+    cover = P.overlapping_partition(edges, base, overlap=0.2, num_shards=8).localCheckpoint(eager=True)
+    n = base.count()
+    budget = int(0.2 * n)
+    n_cover = cover.count()
+    base_missing = base.select("id", "shard").exceptAll(cover.select("id", "shard")).count()
+    dups = n_cover - cover.select("id", "shard").distinct().count()
+    covered = cover.select("id").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                bool(base_missing == 0),
+                bool(0 < n_cover - n <= budget),
+                bool(dups == 0),
+                bool(covered == n),
+            )
+        ],
+        "n_points long, base_contained boolean, extras_within_budget boolean, "
+        "no_duplicate_pairs boolean, all_points_covered boolean",
+    )
+
+
+def q_routing_sweep_invariants(spark, sf_dir):
+    """IterateRoutingConfigs + recall/QPS Pareto contract (routes.cpp:120-311,
+    route_search_combination.cpp:121-226) on a small grid: expected grid
+    size, exhaustive probe reaches recall 1.0, a trained router beats the
+    random baseline on first-shard recall, the Pareto front is non-empty."""
+    pts = _points(spark, sf_dir).cache()
+    asn = P.kmeans_partition(pts, 8, n_iter=6).localCheckpoint(eager=True)
+    qs = pts.where(F.col("id") < 40).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    gt = R.ground_truth(pts, qs, k=K).localCheckpoint(eager=True)
+    pdf = SW.routing_sweep_pareto(
+        pts, asn, qs, gt, k=K, num_shards=8,
+        budgets=(256,), num_voting_list=(20,), nprobes_values=(1, 2, 8),
+        policies=("min_dist", "frequency"),
+    )
+    full = pdf[pdf["nprobes"] == 8]
+    trained = pdf[pdf["algorithm"] != "Random"]["first_shard_recall"].max()
+    rand = pdf[pdf["algorithm"] == "Random"]["first_shard_recall"].max()
+    return spark.createDataFrame(
+        [
+            (
+                int(len(pdf)),
+                bool((full["recall"] >= 0.999).all()),
+                bool(trained > rand),
+                bool(pdf["pareto"].any()),
+            )
+        ],
+        "n_grid_rows long, exhaustive_recall_one boolean, trained_beats_random boolean, "
+        "pareto_nonempty boolean",
+    )
+
+
 def q_approx_knn_quality(spark, sf_dir):
     """Contract of the approximate k-NN builder: every point gets edges,
     out-degree ≤ k, and the sketch recovers ≥70% of the exact k-NN edges."""
@@ -378,6 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_partition_invariants": q_kmeans_partition_invariants,
         "approx_knn_quality": q_approx_knn_quality,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "pyramid_partition_invariants": q_pyramid_partition_invariants,
+        "recursive_partition_invariants": q_recursive_partition_invariants,
+        "our_pyramid_invariants": q_our_pyramid_invariants,
+        "bkm_partition_invariants": q_bkm_partition_invariants,
+        "overlap_cover_invariants": q_overlap_cover_invariants,
+        "routing_sweep_invariants": q_routing_sweep_invariants,
     }
 
 
@@ -665,5 +792,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_neardup_lsh": (
             "SELECT true AS exact_precision, true AS recall_ge_80pct"
+        ),
+        "pyramid_partition_invariants": (
+            "SELECT count(*) AS n_points, 8::BIGINT AS n_shards, "
+            "true AS within_cap, true AS full_coverage FROM embeddings"
+        ),
+        "recursive_partition_invariants": (
+            "SELECT count(*) AS n_points, true AS shards_ge_requested, "
+            "true AS within_cap, true AS full_coverage FROM embeddings"
+        ),
+        "our_pyramid_invariants": (
+            "SELECT count(*) AS n_points, 8::BIGINT AS n_shards, "
+            "true AS within_granularity_cap, true AS full_coverage FROM embeddings"
+        ),
+        "bkm_partition_invariants": (
+            "SELECT count(*) AS n_points, true AS shards_le_requested, "
+            "true AS within_cap, true AS full_coverage FROM embeddings"
+        ),
+        "overlap_cover_invariants": (
+            "SELECT count(*) AS n_points, true AS base_contained, "
+            "true AS extras_within_budget, true AS no_duplicate_pairs, "
+            "true AS all_points_covered FROM embeddings"
+        ),
+        "routing_sweep_invariants": (
+            "SELECT 9::BIGINT AS n_grid_rows, true AS exhaustive_recall_one, "
+            "true AS trained_beats_random, true AS pareto_nonempty"
         ),
     }
