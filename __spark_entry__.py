@@ -389,6 +389,41 @@ def q_overlap_cover_invariants(spark, sf_dir):
     )
 
 
+def q_mips_kmeans_invariants(spark, sf_dir):
+    """MIPS spherical k-means contract (kmeans.cpp:72-100): after each
+    update every centroid's squared norm equals its members' mean squared
+    norm; the assignment covers all points."""
+    import numpy as np
+
+    pts = _points(spark, sf_dir).cache()
+    n = _emb(spark, sf_dir).count()
+    cents, asn = KM.lloyd(pts, 6, n_iter=5, metric="mips", drop_empty=False)
+    asn = asn.localCheckpoint(eager=True)
+    # run one more update step on the final assignment and check the
+    # spherical property directly: ‖c_j‖² == mean member ‖p‖² (to 1e-6 rel)
+    new_c, sizes, _ = KM._superstep(pts, cents, "mips", "id", "vec")
+    from gp_ann_spark.functions.distances import sql_inner_product
+
+    member_sq = {
+        int(r["shard"]): float(r["m"])
+        for r in pts.join(asn, "id")
+        .groupBy("shard")
+        .agg(F.avg(sql_inner_product(F.col("vec"), F.col("vec"))).alias("m"))
+        .collect()
+    }
+    norm_ok = True
+    for j in range(len(new_c)):
+        if sizes[j] == 0 or j not in member_sq:
+            continue
+        c_sq = float(new_c[j] @ new_c[j])
+        norm_ok = norm_ok and bool(np.isclose(c_sq, member_sq[j], rtol=1e-6))
+    n_ids = asn.select("id").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_ids), bool(norm_ok), bool(n_ids == n), bool(len(cents) == 6))],
+        "n_points long, spherical_update_ok boolean, full_coverage boolean, k_kept boolean",
+    )
+
+
 def q_routing_sweep_invariants(spark, sf_dir):
     """IterateRoutingConfigs + recall/QPS Pareto contract (routes.cpp:120-311,
     route_search_combination.cpp:121-226) on a small grid: expected grid
@@ -505,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bkm_partition_invariants": q_bkm_partition_invariants,
         "overlap_cover_invariants": q_overlap_cover_invariants,
         "routing_sweep_invariants": q_routing_sweep_invariants,
+        "mips_kmeans_invariants": q_mips_kmeans_invariants,
     }
 
 
@@ -817,5 +853,9 @@ def oracle_sql() -> dict[str, str]:
         "routing_sweep_invariants": (
             "SELECT 9::BIGINT AS n_grid_rows, true AS exhaustive_recall_one, "
             "true AS trained_beats_random, true AS pareto_nonempty"
+        ),
+        "mips_kmeans_invariants": (
+            "SELECT count(*) AS n_points, true AS spherical_update_ok, "
+            "true AS full_coverage, true AS k_kept FROM embeddings"
         ),
     }

@@ -230,9 +230,8 @@ def build_knn_graph(
     ``repetitions`` recursive sketches, merged + deduped to per-src top-k.
     """
     pts0 = points.select("id", "vec").withColumn("bucket", F.lit(0).cast("long"))
-    all_candidates: list[DataFrame] = []
 
-    for rep in range(repetitions):
+    def one_repetition(rep: int) -> DataFrame:
         pts = pts0.localCheckpoint(eager=True)
         for depth in range(max_depth):
             # localCheckpoint the (tiny) size table: breaks the self-join
@@ -275,7 +274,16 @@ def build_knn_graph(
                 release_local_checkpoint(aux)
         pts = _force_split_big_buckets(pts, max_cluster_size, seed + rep)
         pts = _merge_small_buckets(pts).dropDuplicates(["bucket", "id"])
-        all_candidates.append(_bucket_bruteforce(pts.select("bucket", "id", "vec"), k, metric))
+        return _bucket_bruteforce(pts.select("bucket", "id", "vec"), k, metric)
+
+    # repetitions are fully independent — run their driver loops on threads
+    # so the per-level jobs of different reps overlap (Spark schedules
+    # concurrent jobs onto the shared task slots; the loop is latency-bound
+    # on small per-job work, so overlap ≈ repetitions× wall-clock win)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(repetitions, 4)) as ex:
+        all_candidates = list(ex.map(one_repetition, range(repetitions)))
 
     cand = all_candidates[0]
     for c in all_candidates[1:]:
