@@ -219,7 +219,14 @@ def capacity_fill(
     leftover capacities — the relational form of the reference's retry loop
     (partitioning.cpp:336-346) — until a fixpoint.
     """
-    order = [F.col(score_col).asc()] + ([F.col(prefer_col).asc()] if prefer_col else []) + [F.col(id_col).asc()]
+    # shard tie-break matters: within one id's candidates the id column is
+    # constant, so equal scores across two shards would otherwise be an
+    # unordered (nondeterministic) choice
+    order = (
+        [F.col(score_col).asc()]
+        + ([F.col(prefer_col).asc()] if prefer_col else [])
+        + [F.col(id_col).asc(), F.col(shard_col).asc()]
+    )
     w_shard = Window.partitionBy(shard_col).orderBy(*order)
     w_id = Window.partitionBy(id_col).orderBy(*order)
 

@@ -173,6 +173,85 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def incremental_knn_update(
+    existing_pts: DataFrame,
+    edges: DataFrame,
+    new_pts: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """Incrementally maintain the exact k-NN edge table when a (small) batch
+    of new points arrives — the streaming-ingest companion of
+    ``knn_edges`` (no reference analogue; the reference rebuilds offline).
+
+    Exactness argument:
+
+    - *forward*: each new point's k nearest among (existing ∪ new) come from
+      one broadcast top-k pass (queries = the new batch);
+    - *reverse*: an existing point p's list changes only if some new q has
+      d(p,q) < p's current kth distance — so one ``mapInPandas`` over the
+      existing points with the new batch broadcast emits exactly the pairs
+      below each p's threshold (threshold = +inf while deg(p) < k);
+    - ``merge_topk`` over (old edges ∪ forward ∪ reverse) then reproduces
+      ``knn_edges(existing ∪ new)`` exactly (pytest-verified).
+
+    Scale shape: the new batch is the broadcast side in both passes; nothing
+    O(n_existing²) ever runs, and the shuffle carries only candidate pairs.
+    Returns the updated directed edge table (src, dst, weight).
+    """
+    spark = existing_pts.sparkSession
+    all_pts = existing_pts.select("id", "vec").unionByName(new_pts.select("id", "vec"))
+    fwd = knn_edges_for_queries(all_pts, new_pts.select(F.col("id").alias("query_id"), "vec"), k, metric)
+
+    # per-existing-point kth threshold from the current edge table
+    deg_thresh = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
+    )
+    with_thresh = existing_pts.join(deg_thresh, existing_pts.id == deg_thresh.src, "left").select(
+        "id", "vec",
+        F.when(F.col("deg") >= k, F.col("kth")).otherwise(F.lit(float("inf"))).alias("thresh"),
+    )
+    qpd = new_pts.select("id", "vec").toPandas()
+    q_ids = qpd["id"].to_numpy()
+    q_vecs = np.stack(qpd["vec"].to_numpy()).astype(np.float64) if len(qpd) else np.zeros((0, 1))
+    bc = spark.sparkContext.broadcast((q_ids, q_vecs))
+
+    def reverse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_ids, n_vecs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(n_ids) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            d = distance_matrix(X, n_vecs, metric)  # (n_block, n_new)
+            # ≤, not <: a new point tying p's kth distance can still enter
+            # the top-k via the (dist, id) tie-break in merge_topk
+            th = pdf["thresh"].to_numpy()[:, None]
+            r, c = np.nonzero(d <= th)
+            if len(r) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "src": pdf["id"].to_numpy()[r],
+                    "dst": n_ids[c],
+                    "weight": d[r, c],
+                }
+            )
+
+    rev = with_thresh.mapInPandas(reverse, schema="src long, dst long, weight double")
+    fwd_edges = fwd.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), F.col("dist").alias("weight")
+    )
+    return merge_topk(edges.unionByName(fwd_edges).unionByName(rev), k)
+
+
+def knn_edges_for_queries(
+    points: DataFrame, queries: DataFrame, k: int = 10, metric: str = "l2",
+) -> DataFrame:
+    """Exact top-k of the query set against the point set, excluding
+    self-pairs — the query-batch form of ``knn_edges``."""
+    return exact_knn(points, queries, k=k, metric=metric, exclude_self=True)
+
+
 def merge_topk(candidates: DataFrame, k: int, by: str = "src") -> DataFrame:
     """Dedup (src,dst) keeping min dist, then keep k best per src.
 

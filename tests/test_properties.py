@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): the relational operators must agree
+with straightforward sequential simulators on arbitrary small instances —
+the same strategy the reference's asserts encode, but adversarial."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gp_ann_spark.operators import kmeans as KM
+from gp_ann_spark.operators import knn as KNN
+
+# One shared strategy: a small candidate-rating instance.
+_instances = st.integers(min_value=1, max_value=9999).flatmap(
+    lambda seed: st.just(np.random.default_rng(seed))
+)
+
+
+def _greedy_reference(cands, caps):
+    """Sequential greedy fill: process candidates ascending (score, id,
+    shard); place iff the id is unplaced and the shard has room — the
+    reference's global-rating loop (overlapping_partitioning.cpp:205-222)."""
+    placed = {}
+    room = dict(caps)
+    for score, i, s in sorted(cands):
+        if i in placed or room.get(s, 0) <= 0:
+            continue
+        placed[i] = s
+        room[s] -= 1
+    return placed
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rng=_instances)
+def test_capacity_fill_matches_sequential_greedy(spark, rng):
+    n_ids = int(rng.integers(2, 18))
+    n_shards = int(rng.integers(1, 5))
+    caps = {s: int(rng.integers(0, 6)) for s in range(n_shards)}
+    cands = []
+    for i in range(n_ids):
+        for s in rng.choice(n_shards, size=rng.integers(1, n_shards + 1), replace=False):
+            # coarse scores on purpose: tie-break paths must be exercised
+            cands.append((float(rng.integers(0, 5)), i, int(s)))
+    scored = spark.createDataFrame(
+        [(i, s, sc) for sc, i, s in cands], "id long, shard int, dist double"
+    )
+    caps_df = spark.createDataFrame([(s, c) for s, c in caps.items()], "shard int, cap int")
+    out = {r["id"]: r["shard"] for r in KM.capacity_fill(scored, caps_df).collect()}
+    assert out == _greedy_reference(cands, caps)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rng=_instances)
+def test_merge_topk_and_symmetrize_invariants(spark, rng):
+    n = int(rng.integers(3, 15))
+    k = int(rng.integers(1, 4))
+    rows = []
+    for _ in range(int(rng.integers(5, 40))):
+        a, b = rng.choice(n, size=2, replace=False)
+        rows.append((int(a), int(b), float(rng.integers(1, 9))))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    merged = KNN.merge_topk(edges, k).collect()
+    # ≤ k per src, dedup keeps the min weight, result ⊆ input pairs
+    by_src = {}
+    best = {}
+    for a, b, w in rows:
+        best[(a, b)] = min(best.get((a, b), float("inf")), w)
+    for r in merged:
+        by_src.setdefault(r["src"], []).append(r)
+        assert r["weight"] == best[(r["src"], r["dst"])]
+    for src, lst in by_src.items():
+        assert len(lst) <= k
+        kept = sorted((r["weight"], r["dst"]) for r in lst)
+        expected = sorted(
+            (w, b) for (a, b), w in best.items() if a == src
+        )[: len(lst)]
+        assert kept == expected
+    sym = KNN.symmetrize(edges).collect()
+    pairs = {(r["src"], r["dst"]): r["weight"] for r in sym}
+    for (a, b), w in pairs.items():
+        assert (b, a) in pairs
+        assert pairs[(b, a)] == min(best.get((a, b), np.inf), best.get((b, a), np.inf)) or True
+        assert w == min(best.get((a, b), np.inf), best.get((b, a), np.inf))

@@ -1,0 +1,103 @@
+"""Streaming ingest: incremental exact k-NN maintenance + the Structured
+Streaming front-end (file source, foreachBatch, availableNow drains,
+checkpoint-based resume across queries)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gp_ann_spark.operators import knn as KNN
+from gp_ann_spark.streaming import ingest_stream, lang_counts_stream
+from tests.conftest import make_points_df
+
+
+def _edge_set(df):
+    return {(r["src"], r["dst"], round(r["weight"], 9)) for r in df.collect()}
+
+
+def test_incremental_knn_update_matches_rebuild(spark, rng):
+    A = rng.normal(size=(40, 6)).astype(np.float32)
+    B = rng.normal(size=(15, 6)).astype(np.float32)
+    pts_a = make_points_df(spark, A).cache()
+    pts_b = spark.createDataFrame(
+        [(int(i + 40), [float(x) for x in v]) for i, v in enumerate(B)], "id long, vec array<float>"
+    ).cache()
+    edges_a = KNN.knn_edges(pts_a, k=5).localCheckpoint(eager=True)
+    updated = KNN.incremental_knn_update(pts_a, edges_a, pts_b, k=5)
+    rebuilt = KNN.knn_edges(pts_a.unionByName(pts_b), k=5)
+    assert _edge_set(updated) == _edge_set(rebuilt)
+
+
+def test_incremental_update_when_existing_underfilled(spark, rng):
+    # existing degree < k (built with smaller k) → +inf thresholds must let
+    # every new pair compete
+    A = rng.normal(size=(6, 4)).astype(np.float32)
+    B = rng.normal(size=(10, 4)).astype(np.float32)
+    pts_a = make_points_df(spark, A).cache()
+    pts_b = spark.createDataFrame(
+        [(int(i + 6), [float(x) for x in v]) for i, v in enumerate(B)], "id long, vec array<float>"
+    ).cache()
+    edges_a = KNN.knn_edges(pts_a, k=5)  # only 5 neighbors exist among 6 pts
+    updated = KNN.incremental_knn_update(pts_a, edges_a, pts_b, k=5)
+    rebuilt = KNN.knn_edges(pts_a.unionByName(pts_b), k=5)
+    assert _edge_set(updated) == _edge_set(rebuilt)
+
+
+def _repo_rows(docs):
+    return [(f"repo{i}", f"f{i}.txt", "c0", "py", text) for i, text in enumerate(docs)]
+
+
+def test_ingest_stream_dedup_and_edge_maintenance(spark, tmp_path):
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    batch1 = ["alpha beta gamma delta", "epsilon zeta eta theta", "alpha beta gamma delta"]
+    spark.createDataFrame(_repo_rows(batch1), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+
+    pts1 = spark.read.parquet(points_dir)
+    assert pts1.count() == 2  # in-batch duplicate dropped
+    assert pts1.select("sha256").distinct().count() == 2
+
+    # second drain: one duplicate of batch1 + three new docs — the duplicate
+    # must be dropped via the SINK anti-join (cross-batch state)
+    batch2 = [
+        "alpha beta gamma delta",
+        "iota kappa lambda mu",
+        "nu xi omicron pi",
+        "rho sigma tau upsilon",
+    ]
+    spark.createDataFrame(_repo_rows(batch2), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+
+    pts2 = spark.read.parquet(points_dir)
+    assert pts2.count() == 5
+    ids = sorted(r["id"] for r in pts2.select("id").collect())
+    assert ids == [0, 1, 2, 3, 4]  # dense, continuing across drains
+    # edge table == offline rebuild over the full point set (exactness)
+    edges = spark.read.parquet(edges_dir)
+    rebuilt = KNN.knn_edges(pts2.select("id", "vec"), k=3)
+    assert _edge_set(edges) == _edge_set(rebuilt)
+
+    # third drain with nothing new: no-op, state intact
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    assert spark.read.parquet(points_dir).count() == 5
+
+
+def test_lang_counts_stream(spark, tmp_path):
+    input_dir = str(tmp_path / "landing")
+    sink = str(tmp_path / "lang_counts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    rows = [("r", "a", "c", "py", "x"), ("r", "b", "c", "py", "y"), ("r", "c", "c", "go", "z")]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(input_dir)
+    lang_counts_stream(spark, input_dir, ckpt, sink)
+    out = {r["lang"]: r["count"] for r in spark.read.parquet(sink).collect()}
+    assert out == {"py": 2, "go": 1}
+    # incremental drain accumulates state across queries (checkpointed agg)
+    spark.createDataFrame([("r", "d", "c", "go", "w")], schema).write.mode("append").parquet(input_dir)
+    lang_counts_stream(spark, input_dir, ckpt, sink)
+    out2 = {r["lang"]: r["count"] for r in spark.read.parquet(sink).collect()}
+    assert out2 == {"py": 2, "go": 2}
