@@ -402,6 +402,71 @@ def q_overlap_cover_invariants(spark, sf_dir):
     )
 
 
+def q_incremental_knn_invariants(spark, sf_dir):
+    """Streaming-maintenance contract: incrementally folding the last 20% of
+    points into the first 80%'s edge table reproduces the offline rebuild
+    EXACTLY (same directed edge set)."""
+    pts = _points(spark, sf_dir).cache()
+    n = pts.count()
+    cut = int(n * 0.8)
+    old = pts.where(F.col("id") < cut).cache()
+    new = pts.where(F.col("id") >= cut).cache()
+    edges_old = KNN.knn_edges(old, k=K).localCheckpoint(eager=True)
+    updated = KNN.incremental_knn_update(old, edges_old, new, k=K).localCheckpoint(eager=True)
+    rebuilt = KNN.knn_edges(pts, k=K).localCheckpoint(eager=True)
+    diff = (
+        updated.select("src", "dst").exceptAll(rebuilt.select("src", "dst")).count()
+        + rebuilt.select("src", "dst").exceptAll(updated.select("src", "dst")).count()
+    )
+    return spark.createDataFrame(
+        [(int(n), bool(diff == 0))], "n_points long, matches_rebuild boolean"
+    )
+
+
+def q_streaming_ingest_invariants(spark, sf_dir):
+    """End-to-end Structured Streaming drain over a landing dir synthesized
+    from the documents table: points sink holds one row per distinct
+    content hash; the maintained edge table equals the offline rebuild."""
+    import shutil
+    import tempfile
+
+    from gp_ann_spark.streaming import ingest_stream
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 60)
+    d = tempfile.mkdtemp(prefix="gp_ann_stream_")
+    try:
+        inp, pts_d, edg_d, ck = [f"{d}/{x}" for x in ("in", "pts", "edg", "ck")]
+        def as_repo_rows(df):
+            return df.select(
+                F.concat(F.lit("r"), F.col("doc_id")).alias("repo"),
+                F.concat(F.lit("f"), F.col("doc_id")).alias("path"),
+                F.lit("c0").alias("commit"),
+                F.lit("txt").alias("lang"),
+                F.col("text").alias("content"),
+            )
+
+        # two drains: first 40 docs, then ALL 60 again (40 cross-batch dups)
+        as_repo_rows(docs.where(F.col("doc_id") < 40)).write.mode("append").parquet(inp)
+        ingest_stream(spark, inp, pts_d, edg_d, ck, k=5, dim=16)
+        as_repo_rows(docs).write.mode("append").parquet(inp)
+        ingest_stream(spark, inp, pts_d, edg_d, ck, k=5, dim=16)
+        sunk = spark.read.parquet(pts_d)
+        n_points = sunk.count()
+        n_hashes = docs.select(F.sha2("text", 256)).distinct().count()
+        edges = spark.read.parquet(edg_d)
+        rebuilt = KNN.knn_edges(sunk.select("id", "vec"), k=5)
+        diff = (
+            edges.select("src", "dst").exceptAll(rebuilt.select("src", "dst")).count()
+            + rebuilt.select("src", "dst").exceptAll(edges.select("src", "dst")).count()
+        )
+        return spark.createDataFrame(
+            [(int(n_points), bool(n_points == n_hashes), bool(diff == 0))],
+            "n_points long, one_row_per_hash boolean, edges_match_rebuild boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_mips_kmeans_invariants(spark, sf_dir):
     """MIPS spherical k-means contract (kmeans.cpp:72-100): after each
     update every centroid's squared norm equals its members' mean squared
@@ -554,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_cover_invariants": q_overlap_cover_invariants,
         "routing_sweep_invariants": q_routing_sweep_invariants,
         "mips_kmeans_invariants": q_mips_kmeans_invariants,
+        "incremental_knn_invariants": q_incremental_knn_invariants,
+        "streaming_ingest_invariants": q_streaming_ingest_invariants,
     }
 
 
@@ -870,5 +937,13 @@ def oracle_sql() -> dict[str, str]:
         "mips_kmeans_invariants": (
             "SELECT count(*) AS n_points, true AS spherical_update_ok, "
             "true AS full_coverage, true AS k_kept FROM embeddings"
+        ),
+        "incremental_knn_invariants": (
+            "SELECT count(*) AS n_points, true AS matches_rebuild FROM embeddings"
+        ),
+        "streaming_ingest_invariants": (
+            "SELECT count(DISTINCT sha256(text)) AS n_points, "
+            "true AS one_row_per_hash, true AS edges_match_rebuild "
+            "FROM documents WHERE doc_id < 60"
         ),
     }

@@ -21,6 +21,7 @@ oracle bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -73,6 +74,16 @@ def exact_knn(
     """
     spark = points.sparkSession
     qpd = queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qvec")).toPandas()
+    # the query batch is the BROADCAST side — that is the operator's scale
+    # contract. Refuse silently-OOM-at-2am sizes instead of honoring them:
+    # self-joins over the full corpus belong to knn_approx.build_knn_graph.
+    max_q = int(os.environ.get("SPARK_GRAFT_MAX_BROADCAST_QUERIES", "4000000"))
+    if len(qpd) > max_q:
+        raise ValueError(
+            f"exact_knn broadcasts the query side; {len(qpd)} queries exceed the "
+            f"{max_q} cap (SPARK_GRAFT_MAX_BROADCAST_QUERIES). For corpus-scale "
+            "self-kNN use knn_approx.build_knn_graph (the sketch path)."
+        )
     q_ids = qpd["qid"].to_numpy()
     q_vecs = np.stack(qpd["qvec"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((q_ids, q_vecs))
