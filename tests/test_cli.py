@@ -1,0 +1,74 @@
+"""CLI parity tests: the reference-binary-shaped entry points in tools/cli.py
+(driven in-process with the shared session)."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+import cli as CLI  # noqa: E402
+
+from tests.conftest import make_points_df  # noqa: E402
+
+
+@pytest.fixture()
+def pts_file(spark, rng, tmp_path):
+    from gp_ann_spark import io as IO
+
+    X = np.vstack(
+        [rng.normal(c, 0.4, size=(30, 6)) for c in (np.zeros(6), np.ones(6) * 4, np.ones(6) * 8)]
+    ).astype(np.float32)
+    path = str(tmp_path / "pts.fbin")
+    IO.write_points_bin(make_points_df(spark, X), path)
+    return path
+
+
+def test_cli_partition_kmeans_and_random(spark, pts_file, tmp_path, capsys):
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["imbalance"] <= 1.05 + 1e-9 and rep["n"] == 90
+    with open(f"{out}.k=3.KMeans") as f:
+        lines = [int(x) for x in f.read().split()]
+    assert len(lines) == 90 and set(lines) <= {0, 1, 2}
+
+    CLI.main(["partition", pts_file, out, "3", "Random", "default"], spark=spark)
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["method"] == "Random"
+
+
+def test_cli_partition_ogp_cover(spark, pts_file, tmp_path, capsys):
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "GP", "default", "0.2"], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["method"] == "OGP" and rep["cover_rows"] >= 90
+
+
+def test_cli_oracle_recall_and_graph_bench(spark, pts_file, tmp_path, capsys):
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+    capsys.readouterr()
+    CLI.main(
+        ["oracle-recall", pts_file, pts_file, "5", f"{out}.k=3.KMeans.parquet"], spark=spark
+    )
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("nprobes=")]
+    assert lines and float(lines[-1].split("=")[-1]) >= 0.999  # all probes → 1.0
+
+    CLI.main(["graph-quality-bench", pts_file, "5"], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["graph_recall"] >= 0.6
+
+
+def test_cli_convert_roundtrip(spark, pts_file, tmp_path, capsys):
+    pq = str(tmp_path / "pts.parquet")
+    CLI.main(["convert", pts_file, pq], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["converted"] == 90
+    back = str(tmp_path / "back.fbin")
+    CLI.main(["convert", pq, back], spark=spark)
+    from gp_ann_spark import io as IO
+
+    again = IO.read_points_bin(spark, back)
+    assert again.count() == 90

@@ -1,0 +1,214 @@
+"""CLI parity with the reference's binaries (CMakeLists.txt:26-33): a user
+of the reference can run the same commands against this engine.
+
+    python tools/cli.py partition <points> <output> <k> <method> (default|strong) [overlap]
+        methods (partition.cpp:64-134): Random | GP | Pyramid | KMeans |
+        BalancedKMeans | FlatKMeans | RKM | OurPyramid | OGP | OGPS | OKM |
+        ORKM | OBKM — covers get a `.clusters` file, partitions a METIS file;
+        both also land as parquet next to the text artifact.
+    python tools/cli.py query-attribution <points> <queries> <gt-file> <k> <partition-file> <output> <shards>
+        (run_query_attribution.cpp:22-90): compute-or-validate GT, routing
+        config sweep, timed in-shard searches, recall/QPS Pareto parquet.
+    python tools/cli.py oracle-recall <points> <queries> <k> <partition-file>
+        (oracle_recall.cpp): recall-vs-probes under the per-query oracle
+        probe order.
+    python tools/cli.py graph-quality-bench <points> <k>
+        (graph_quality_benchmark.cpp:53-66): approx-vs-exact graph recall.
+    python tools/cli.py convert <in.fbin|in.parquet> <out.parquet|out.fbin>
+        (convert.cpp): point-format conversion + duplicate diagnostic for
+        `.clusters` inputs.
+
+Points/queries load from the reference's `.fbin/.u8bin/.i8bin` or parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gp_ann_spark import io as IO  # noqa: E402
+from gp_ann_spark.eval import recall as R  # noqa: E402
+from gp_ann_spark.operators import hierarchical as H  # noqa: E402
+from gp_ann_spark.operators import kmeans as KM  # noqa: E402
+from gp_ann_spark.operators import knn as KNN  # noqa: E402
+from gp_ann_spark.operators import knn_approx as KA  # noqa: E402
+from gp_ann_spark.operators import partition as P  # noqa: E402
+from gp_ann_spark.operators import routing as RT  # noqa: E402
+from gp_ann_spark.operators import sweep as SW  # noqa: E402
+
+EPS = 0.05  # the reference's fixed epsilon (partition.cpp:88)
+
+
+def _load_points(spark, path):
+    if path.endswith(".parquet") or os.path.isdir(path):
+        df = spark.read.parquet(path)
+        cols = set(df.columns)
+        if {"id", "vec"} <= cols:
+            return df.select("id", "vec")
+        return df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    fmt = path.rsplit(".", 1)[-1]
+    return IO.read_points_bin(spark, path, fmt=fmt)
+
+
+def _knn_edges_auto(pts, k=10):
+    """GP's edge table: approx builder (the reference's default graph source,
+    partitioning.cpp:251-264)."""
+    n = pts.count()
+    return KNN.symmetrize(
+        KA.build_knn_graph(pts, k=k, max_cluster_size=min(5000, max(200, n // 4)),
+                           top_level_leaders=min(950, max(8, n // 100)))
+    )
+
+
+def cmd_partition(spark, args):
+    points_path, output, k, method = args[0], args[1], int(args[2]), args[3]
+    strong = len(args) > 4 and args[4] == "strong"
+    overlap = float(args[5]) if len(args) > 5 else 0.0
+    part_file = f"{output}.k={k}.{method}" + (f".o={args[5]}" if overlap else "")
+    pts = _load_points(spark, points_path).cache()
+    n = pts.count()
+    cap = P.max_cluster_size(n, k, EPS)
+    reps = 5 if strong else 3  # 'strong' bumps the graph builder (o_p.cpp:60-63)
+    cover = None
+    if method == "GP" and overlap != 0.0:
+        method = "OGP"
+    if method == "Random":
+        asn = P.random_partition(pts, k)
+    elif method == "GP":
+        asn = P.graph_partition(_knn_edges_auto(pts), k, eps=EPS)
+    elif method == "Pyramid":
+        asn = H.pyramid_partition(pts, k, eps=EPS)
+    elif method == "KMeans":
+        asn = P.kmeans_partition(pts, k, eps=EPS)
+    elif method == "BalancedKMeans":
+        _, asn = KM.balanced_kmeans_bkm(pts, k, cap)
+    elif method == "FlatKMeans":
+        _, asn = KM.lloyd(pts, k)
+    elif method == "RKM":
+        asn = P.rebalancing_kmeans_partition(pts, k, eps=EPS)
+    elif method == "OurPyramid":
+        asn, _ = H.our_pyramid_partition(pts, k, eps=EPS)
+    elif method == "OGP":
+        edges = _knn_edges_auto(pts).localCheckpoint(eager=True)
+        k_adj = -(-int((1 + overlap) * n) // cap)  # inflated cluster count (:56)
+        base = P.graph_partition(edges, k_adj, eps=EPS)
+        cover = P.overlapping_partition(edges, base, overlap=overlap, num_shards=k_adj)
+    elif method in ("OKM", "ORKM", "OGPS", "OBKM"):
+        k_adj = -(-int(n + overlap * n) // cap) if method == "OGPS" else -(-int(k * (1 + overlap)) // 1)
+        if method == "OKM":
+            base = P.kmeans_partition(pts, k, eps=EPS)
+        elif method == "ORKM":
+            base = P.rebalancing_kmeans_partition(pts, k_adj, eps=EPS)
+        elif method == "OBKM":
+            _, base = KM.balanced_kmeans_bkm(pts, k_adj, cap)
+        else:  # OGPS
+            base = P.graph_partition(_knn_edges_auto(pts), k_adj, eps=EPS)
+        cents = RT.shard_centroids(pts, base)
+        import numpy as np
+
+        cpd = cents.orderBy("shard").toPandas()
+        cmat = np.stack(cpd["vec"].to_numpy())
+        cover = P.overlapping_kmeans_partition(pts, base, cmat, overlap=overlap, eps=EPS)
+    else:
+        raise SystemExit(f"unknown method {method}")
+    if cover is not None:
+        IO.write_clusters(cover, part_file + ".clusters")
+        IO.write_assignment(cover, part_file + ".parquet")
+        sizes = cover.groupBy("shard").agg(F.count(F.lit(1)).alias("c"))
+        mx = sizes.agg(F.max("c")).collect()[0][0]
+        print(json.dumps({"method": method, "cover_rows": cover.count(), "max_shard": int(mx)}))
+    else:
+        IO.write_metis_partition(asn, part_file)
+        IO.write_assignment(asn, part_file + ".parquet")
+        imb = P.imbalance(asn, k)
+        print(json.dumps({"method": method, "imbalance": round(imb, 4), "n": n, "k": k}))
+
+
+def cmd_query_attribution(spark, args):
+    points_path, queries_path, gt_file, k, part_file, output, shards = (
+        args[0], args[1], args[2], int(args[3]), args[4], args[5], int(args[6]),
+    )
+    pts = _load_points(spark, points_path).cache()
+    qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
+    if os.path.exists(gt_file) or os.path.isdir(gt_file):
+        gt = IO.read_ground_truth(spark, gt_file)
+        gt, _, report = R.validate_ground_truth(gt, pts, qs, k)  # ≙ the eps sweep + repair
+        print("gt validation:", json.dumps({str(k_): v for k_, v in report.items()}, default=str))
+    else:
+        gt = R.ground_truth(pts, qs, k=k)
+        IO.write_ground_truth(gt, gt_file)
+    gt = gt.localCheckpoint(eager=True)
+    cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
+    pdf = SW.routing_sweep_pareto(pts, cover, qs, gt, k=k, num_shards=shards)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(output)
+    print(pdf[pdf["pareto"]].to_string(index=False))
+
+
+def cmd_oracle_recall(spark, args):
+    points_path, queries_path, k, part_file = args[0], args[1], int(args[2]), args[3]
+    pts = _load_points(spark, points_path).cache()
+    qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
+    gt = R.ground_truth(pts, qs, k=k).localCheckpoint(eager=True)
+    cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
+    routes = R.oracle_probe_order(gt, cover)
+    curve = R.recall_vs_probes(gt, cover, routes, k, qs.count()).orderBy("nprobes").collect()
+    for row in curve:
+        print(f"nprobes={row['nprobes']} oracle_recall={row['recall']:.4f}")
+
+
+def cmd_graph_quality_bench(spark, args):
+    points_path, k = args[0], int(args[1])
+    pts = _load_points(spark, points_path).cache()
+    approx = KA.build_knn_graph(pts, k=k)
+    exact = KNN.knn_edges(pts, k=k)
+    print(json.dumps({"graph_recall": round(KA.graph_recall(approx, exact), 4)}))
+
+
+def cmd_convert(spark, args):
+    src, dst = args[0], args[1]
+    if src.endswith(".clusters"):
+        cover = IO.read_clusters(spark, src)
+        P.duplicates_in_clusters(cover).orderBy("shard").show()
+        return
+    pts = _load_points(spark, src)
+    if dst.endswith(".parquet"):
+        IO.write_points(pts, dst)
+    else:
+        IO.write_points_bin(pts, dst, fmt=dst.rsplit(".", 1)[-1])
+    print(json.dumps({"converted": pts.count()}))
+
+
+COMMANDS = {
+    "partition": cmd_partition,
+    "query-attribution": cmd_query_attribution,
+    "oracle-recall": cmd_oracle_recall,
+    "graph-quality-bench": cmd_graph_quality_bench,
+    "convert": cmd_convert,
+}
+
+
+def main(argv=None, spark=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in COMMANDS:
+        print(__doc__)
+        return 1
+    own_session = spark is None
+    if own_session:
+        from gp_ann_spark.session import get_spark
+
+        spark = get_spark("gp_ann_cli", master=os.environ.get("SPARK_MASTER", "local[8]"))
+    try:
+        COMMANDS[argv[0]](spark, argv[1:])
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
