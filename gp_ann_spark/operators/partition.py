@@ -245,22 +245,32 @@ def _initial_partition_driver(
     rng = np.random.default_rng(seed)
     # greedy growing: seed each shard with the next heaviest unassigned
     # vertex, then repeatedly add the unassigned vertex with max affinity.
+    # Gains are maintained INCREMENTALLY with a lazy max-heap — recomputing
+    # the whole frontier per placement is O(n²·deg) and stalls for minutes
+    # at coarse graphs ≥ 4k vertices.
+    import heapq
+
+    target_load = wts.sum() / num_shards
     for s in range(num_shards):
-        seed_v = next((v for v in order if part[v] == -1), None)
+        seed_v = next((int(v) for v in order if part[v] == -1), None)
         if seed_v is None:
             break
-        frontier = {seed_v}
-        while frontier and loads[s] < wts.sum() / num_shards:
-            gains = {v: sum(w for u, w in adj[v].items() if part[u] == s) for v in frontier}
-            v = max(frontier, key=lambda x: (gains[x], -x))
-            frontier.discard(v)
-            if part[v] != -1 or loads[s] + wts[v] > cap:
+        gains = {seed_v: 0.0}
+        heap = [(0.0, seed_v)]  # (-gain, v); ties → smaller v first
+        while heap and loads[s] < target_load:
+            neg_g, v = heapq.heappop(heap)
+            if part[v] != -1 or v not in gains or -neg_g != gains[v]:
+                continue  # stale or already placed
+            if loads[s] + wts[v] > cap:
+                del gains[v]
                 continue
             part[v] = s
             loads[s] += wts[v]
-            for u in adj[v]:
+            del gains[v]
+            for u, w in adj[v].items():
                 if part[u] == -1:
-                    frontier.add(u)
+                    gains[u] = gains.get(u, 0.0) + w
+                    heapq.heappush(heap, (-gains[u], u))
     for v in order:  # leftovers → least-loaded shard with room
         if part[v] == -1:
             s = int(np.argmin(loads))
