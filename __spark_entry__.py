@@ -317,7 +317,8 @@ def q_kmeans_partition_invariants(spark, sf_dir):
 
 def q_pyramid_partition_invariants(spark, sf_dir):
     pts = _points(spark, sf_dir).cache()
-    asn = HH.pyramid_partition(pts, 8, n_aggregates=64).localCheckpoint(eager=True)
+    asn, _ridx = HH.pyramid_partition(pts, 8, n_aggregates=64)
+    asn = asn.localCheckpoint(eager=True)
     return _partition_invariants(spark, sf_dir, asn, 8)
 
 
@@ -553,16 +554,20 @@ def q_approx_knn_quality(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     # The ARRAY<FLOAT> feature column is not canonicalizable by the driver's
-    # rows-only pandas sort (lists are unhashable) — emit a scalar projection:
-    # md5 over the 6-dp-rounded vector plus the first dims as scalar columns.
+    # rows-only pandas sort (lists are unhashable) — emit a scalar projection
+    # in INTEGER space: each float32 lane is u/65535 with u uint16, and
+    # round(f*65535) recovers u exactly (float32 error < 2^-24·65535 ≪ 0.5),
+    # so the projection is bit-exact and DuckDB-expressible (the oracle
+    # replays sha256(sha256(id||':42')) and unpacks the little-endian u16
+    # lanes from the hex digest).
     feats = MM.extract_features(MM.synth_media(spark, 200), dim=16)
-    rounded = F.transform("feature", lambda v: F.format_number(v.cast("double"), 6))
+    lanes = F.transform("feature", lambda v: F.round(v.cast("double") * 65535).cast("int"))
     return feats.select(
         "media_id",
-        F.md5(F.concat_ws(",", rounded)).alias("feature_md5"),
+        F.md5(F.concat_ws(",", lanes.cast("array<string>"))).alias("feature_md5"),
         F.size("feature").alias("dim"),
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
+        F.element_at(lanes, 1).alias("u0"),
+        F.element_at(lanes, 2).alias("u1"),
     )
 
 
@@ -946,4 +951,30 @@ def oracle_sql() -> dict[str, str]:
             "true AS one_row_per_hash, true AS edges_match_rebuild "
             "FROM documents WHERE doc_id < 60"
         ),
+        # full value oracle for the multimodal feature path: synth_media's
+        # payload is CAST(sha2(id||':42',256) AS BINARY) — i.e. the UTF-8
+        # bytes of the lowercase hex — and the fake decode is
+        # sha256(payload); DuckDB's sha256(varchar) hashes the string bytes,
+        # so sha256(sha256(...)) replays it exactly. The u16 lanes are
+        # little-endian pairs of the digest, unpacked from hex.
+        "media_features": """
+            WITH d AS (
+              SELECT id AS media_id,
+                     sha256(sha256(concat(CAST(id AS VARCHAR), ':42'))) AS h
+              FROM range(200) t(id)
+            ),
+            u AS (
+              SELECT media_id,
+                     [ (('0x' || substr(h, 4*i+1, 2))::INT
+                        + 256 * (('0x' || substr(h, 4*i+3, 2))::INT))
+                       for i in range(16) ] AS lanes
+              FROM d
+            )
+            SELECT media_id,
+                   md5(array_to_string(lanes, ',')) AS feature_md5,
+                   16 AS dim,
+                   lanes[1] AS u0,
+                   lanes[2] AS u1
+            FROM u
+        """,
     }

@@ -47,16 +47,25 @@ def validate_ground_truth(
 
     Returns ``(repaired_gt, thresholds, report)`` where report mirrors the
     reference's printed counters: ``distance_mismatches``,
-    ``wrong_by_eps[ε]``, ``wrong_sorts_before``, ``wrong_sorts_after``.
+    ``wrong_by_eps[ε]``, ``wrong_sorts_before``, ``wrong_sorts_after``,
+    plus ``missing_neighbors`` (GT rows naming nonexistent point ids).
 
     Scale shape: one equi-join of the (nq×k)-row GT with the point vectors,
     queries broadcast; all counters come from a single aggregate pass.
     """
     pv = points.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("_pv"))
     qv = queries.select("query_id", F.col("vec").alias("_qv"))
-    with_true = (
-        gt.join(pv, "neighbor_id")
+    # LEFT join: a GT row naming a nonexistent point id must surface in the
+    # report (the reference's validation errors out on them), not silently
+    # vanish from the counters and the repaired lists
+    joined = (
+        gt.join(pv, "neighbor_id", "left")
         .join(F.broadcast(qv), "query_id")
+        .localCheckpoint(eager=True)
+    )
+    n_missing = joined.where(F.col("_pv").isNull()).count()
+    with_true = (
+        joined.where(F.col("_pv").isNotNull())
         .withColumn("true_dist", sql_distance(F.col("_qv"), F.col("_pv"), metric))
         .drop("_pv", "_qv")
         .localCheckpoint(eager=True)
@@ -84,6 +93,7 @@ def validate_ground_truth(
         "wrong_by_eps": {e: int(crow[f"e{i}"] or 0) for i, e in enumerate(EPS_GRID)},
         "wrong_sorts_before": int(frow["wsb"] or 0),
         "wrong_sorts_after": int(frow["wsa"] or 0),
+        "missing_neighbors": int(n_missing),
     }
     w_true = Window.partitionBy("query_id").orderBy(F.col("true_dist").asc(), F.col("neighbor_id").asc())
     repaired = with_true.withColumn("rank", F.row_number().over(w_true)).select(
@@ -179,7 +189,9 @@ def pareto_front(configs: DataFrame, x: str = "recall", y: str = "qps") -> DataF
     """Drop dominated (recall, QPS) configs (≙ route_search_combination.cpp:
     193-218): keep rows where no other row is ≥ in both dims (> in one).
     Config grids are tiny — a window over recall-descending order suffices."""
-    w = bounded_global_window(F.col(x).desc(), F.col(y).desc()).rowsBetween(Window.unboundedPreceding, -1)
+    w = bounded_global_window(F.col(x).desc(), F.col(y).desc(), key=F.col(x)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     return (
         configs.withColumn("_best_y", F.max(y).over(w))
         .where(F.col("_best_y").isNull() | (F.col(y) > F.col("_best_y")))

@@ -182,4 +182,57 @@ def write_ground_truth(gt: DataFrame, path: str) -> None:
 
 
 def read_ground_truth(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Dispatch: a directory is the Parquet sink; a regular file is the
+    reference's binary interchange format."""
+    import os
+
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return read_ground_truth_bin(spark, path)
+
+
+def write_ground_truth_bin(gt: DataFrame, path: str) -> None:
+    """≙ WriteGroundTruth (points_io.cpp:163-179): header ``(nq:u32, k:u32)``
+    then ALL nq·k neighbor ids (u32, row-major by query then rank), then ALL
+    nq·k distances (f32) — ids-then-dists, not interleaved. Queries must be
+    dense 0..nq-1 with exactly k ranks each (the reference's positional
+    contract). Driver-side interchange artifact like ``write_points_bin``;
+    GT is nq·k rows, small by construction."""
+    import struct
+
+    import numpy as np
+
+    pdf = gt.select("query_id", "rank", "neighbor_id", "dist").orderBy("query_id", "rank").toPandas()
+    nq = pdf["query_id"].nunique()
+    k = int(pdf["rank"].max()) if len(pdf) else 0
+    if len(pdf) != nq * k:
+        raise ValueError(f"ragged GT: {len(pdf)} rows != {nq} queries x {k} ranks")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", nq, k))
+        pdf["neighbor_id"].to_numpy().astype("<u4").tofile(f)
+        pdf["dist"].to_numpy().astype("<f4").tofile(f)
+
+
+def read_ground_truth_bin(spark: SparkSession, path: str) -> DataFrame:
+    """≙ ReadGroundTruth (points_io.cpp:136-160): parse the ids-then-dists
+    binary layout back to the (query_id, neighbor_id, dist, rank) relation.
+    Stored order within a query IS the rank order (the reference writes
+    sorted NNVecs)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    with open(path, "rb") as f:
+        nq, k = struct.unpack("<II", f.read(8))
+        ids = np.fromfile(f, dtype="<u4", count=nq * k)
+        dists = np.fromfile(f, dtype="<f4", count=nq * k)
+    pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(np.arange(nq, dtype=np.int64), k),
+            "neighbor_id": ids.astype(np.int64),
+            "dist": dists.astype(np.float64),
+            "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), nq),
+        }
+    )
+    return spark.createDataFrame(pdf)

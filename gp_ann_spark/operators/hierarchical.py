@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.functions.distances import pairwise_sqr_l2
 from gp_ann_spark.functions.windows import bounded_global_window
 
 from gp_ann_spark.checkpoint import swap_checkpoint
@@ -69,7 +70,9 @@ def hierarchical_kmeans(
             rng = np.random.default_rng(seed + leaf + lvl * 1_000_003)
             C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
             for _ in range(n_iter):
-                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                # BLAS m×k kernel — the (m,k,d) broadcast tensor is O(m·k·d)
+                # memory per iteration in-task
+                d2 = pairwise_sqr_l2(X, C)
                 a = d2.argmin(1)
                 for j in range(len(C)):
                     m = a == j
@@ -106,7 +109,7 @@ def pyramid_partition(
     metric: str = "l2",
     seed: int = SEED,
     max_rounds: int = 5,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Pyramid: coarse aggregate pipeline + capacity-constrained point
     assignment (≙ PyramidPartitioning partitioning.cpp:266-356).
 
@@ -116,6 +119,11 @@ def pyramid_partition(
     greedily filled under the (1+ε) cap, looping over the unassigned
     remainder (≙ the retry rounds :336-346 — here ``capacity_fill`` loops
     internally).
+
+    Returns ``(assignment, routing_index)`` where routing_index is the
+    aggregate-centroid table with shard labels ``(agg, shard, vec)`` — the
+    side output a router trains on (≙ partitioning.cpp:279-291, mirroring
+    ``our_pyramid_partition``'s leaf-centroid index).
     """
     n = points.count()
     cap = P.max_cluster_size(n, num_shards, eps)
@@ -155,7 +163,11 @@ def pyramid_partition(
         )
         placed2 = KM.capacity_fill(all_shard, caps_df)
         placed = placed.select("id", "shard").unionByName(placed2.select("id", "shard"))
-    return placed.select("id", F.col("shard").cast("int").alias("shard"))
+    routing_index = spark.createDataFrame(
+        [(int(i), int(s), [float(x) for x in c]) for i, (s, c) in enumerate(zip(shard_of, centroids))],
+        "agg long, shard int, vec array<float>",
+    )
+    return placed.select("id", F.col("shard").cast("int").alias("shard")), routing_index
 
 
 def our_pyramid_partition(

@@ -205,19 +205,25 @@ def capacity_fill(
     """Greedy capacity-constrained assignment as a window program.
 
     Input: candidate (id, shard, score) ratings, possibly several shards per
-    id. Semantics ≙ the reference's global-rating greedy fills
+    id. Semantics ≙ the reference's global-rating greedy fill
     (overlapping_partitioning.cpp:205-222, partitioning.cpp:336-346):
-    process candidates in ascending score; a candidate lands iff its shard
-    still has room *among better-scored candidates* and the id is not yet
-    placed. Two windows, no driver loop:
+    process candidates in ascending (score, prefer, id, shard); a candidate
+    lands iff the id is unplaced and its shard still has room — capacity is
+    consumed only by actual placements.
 
-      fill_rank  = row_number over (shard, order by score)   — capacity gate
-      choice_rnk = row_number over (id, order by score)      — best surviving
-
-    A single pass can strand an id (its slots consumed by ids that landed
-    elsewhere), so the pass is looped over the unplaced remainder with the
-    leftover capacities — the relational form of the reference's retry loop
-    (partitioning.cpp:336-346) — until a fixpoint.
+    Relational form: Gale–Shapley deferred acceptance with eviction. Each
+    pass, every id proposes to its best not-yet-rejected candidate
+    (row_number over id); each shard tentatively holds its cap best-scored
+    proposers and REJECTS the rest (row_number over proposers per shard) —
+    rejected (id, shard) pairs are deleted and the loop repeats until a pass
+    rejects nothing, at which point the holds are the placement. Holds are
+    tentative: a later re-proposer with a better score evicts a worse hold
+    (commit-final variants provably diverge from the greedy). Because both
+    sides rank by the same score, preferences are aligned, the stable
+    matching is unique, and it equals the sequential greedy's output —
+    pinned extensionally by tests/test_properties.py (hypothesis + a
+    2000-seed deterministic sweep of the pass structure). Each pass deletes
+    ≥1 pair, so the loop terminates; in practice passes ≈ a few × #shards.
     """
     # shard tie-break matters: within one id's candidates the id column is
     # constant, so equal scores across two shards would otherwise be an
@@ -236,37 +242,33 @@ def capacity_fill(
         caps = (
             scored.select(shard_col).distinct().withColumn("cap", F.lit(int(capacity)).cast("long"))
         )
-    caps = caps.localCheckpoint(eager=True)
-    remaining = scored
-    placed: DataFrame | None = None
-    for _ in range(20):
-        ranked = remaining.withColumn("_fill", F.row_number().over(w_shard))
-        gated = ranked.join(F.broadcast(caps), shard_col).where(F.col("_fill") <= F.col("cap")).drop("cap")
-        chosen = (
-            gated.withColumn("_choice", F.row_number().over(w_id))
+    caps = caps.where(F.col("cap") > 0).localCheckpoint(eager=True)
+    # pairs to dead (cap ≤ 0 / unknown) shards can never place — drop once
+    remaining = scored.join(F.broadcast(caps), shard_col, "left_semi").localCheckpoint(eager=True)
+    n_pass = 0
+    while True:
+        n_pass += 1
+        # propose: each id's best not-yet-rejected candidate
+        proposals = (
+            remaining.withColumn("_choice", F.row_number().over(w_id))
             .where(F.col("_choice") == 1)
-            .drop("_fill", "_choice")
-            .localCheckpoint(eager=True)
+            .drop("_choice")
         )
-        n_new = chosen.count()
-        if n_new == 0:
-            break
-        placed = chosen if placed is None else placed.unionByName(chosen)
-        remaining = swap_checkpoint(remaining.join(chosen.select(id_col), id_col, "left_anti"), remaining if _ > 0 else None)
+        # tentative admission: each shard holds its cap best proposers and
+        # rejects the rest; rejected pairs are DELETED so the id re-proposes
+        # to its next candidate next pass. Holds stay tentative — a better
+        # re-proposer evicts a worse hold in a later pass.
+        ranked = proposals.withColumn("_fill", F.row_number().over(w_shard)).join(
+            F.broadcast(caps), shard_col
+        )
+        rejected = ranked.where(F.col("_fill") > F.col("cap")).select(id_col, shard_col).localCheckpoint(eager=True)
+        if rejected.limit(1).count() == 0:
+            return ranked.select(*scored.columns)
+        remaining = swap_checkpoint(
+            remaining.join(rejected, [id_col, shard_col], "left_anti"), remaining
+        )
         if remaining.limit(1).count() == 0:
-            break
-        used = chosen.groupBy(shard_col).agg(F.count(F.lit(1)).alias("_u"))
-        caps = swap_checkpoint(
-            caps.join(used, shard_col, "left")
-            .select(shard_col, (F.col("cap") - F.coalesce("_u", F.lit(0))).alias("cap"))
-            .where(F.col("cap") > 0),
-            caps,
-        )
-        if caps.limit(1).count() == 0:
-            break
-    if placed is None:
-        return scored.limit(0)
-    return placed
+            return scored.limit(0)
 
 
 def balanced_lloyd(

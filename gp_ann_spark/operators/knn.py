@@ -92,8 +92,9 @@ def exact_knn(
         b_ids, b_vecs = bc.value
         # cap the per-matmul block so the (block × n_queries) distance
         # matrix stays ≤ ~64 MB regardless of Arrow batch sizing AND of the
-        # broadcast query count (floor 8 → worst case 8 × nq × 8 B)
-        chunk = max(8, (8 << 20) // max(len(b_ids), 1))
+        # broadcast query count: floor 2 × 4M-query cap × 8 B = 64 MB, so
+        # the bound holds exactly at the broadcast limit the cap polices
+        chunk = max(2, (8 << 20) // max(len(b_ids), 1))
         # Accumulate the running top-k per query across the WHOLE task and
         # emit once: the downstream merge then sees n_tasks×nq×k rows, not
         # n_chunks×nq×k (at 600k points that is an 8× smaller shuffle —
@@ -210,6 +211,22 @@ def incremental_knn_update(
     O(n_existing²) ever runs, and the shuffle carries only candidate pairs.
     Returns the updated directed edge table (src, dst, weight).
     """
+    return merge_topk(edges.unionByName(incremental_knn_delta(existing_pts, edges, new_pts, k, metric)), k)
+
+
+def incremental_knn_delta(
+    existing_pts: DataFrame,
+    edges: DataFrame,
+    new_pts: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """The candidate-pair delta of ``incremental_knn_update``: forward top-k
+    rows for the new batch ∪ reverse below-threshold rows for affected
+    existing points — WITHOUT the final merge. The srcs appearing here are
+    exactly the points whose adjacency can change, which is what lets the
+    streaming sink rewrite only the buckets containing them
+    (streaming/ingest.py)."""
     spark = existing_pts.sparkSession
     all_pts = existing_pts.select("id", "vec").unionByName(new_pts.select("id", "vec"))
     fwd = knn_edges_for_queries(all_pts, new_pts.select(F.col("id").alias("query_id"), "vec"), k, metric)
@@ -252,7 +269,7 @@ def incremental_knn_update(
     fwd_edges = fwd.select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), F.col("dist").alias("weight")
     )
-    return merge_topk(edges.unionByName(fwd_edges).unionByName(rev), k)
+    return fwd_edges.unionByName(rev)
 
 
 def knn_edges_for_queries(

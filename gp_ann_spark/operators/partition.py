@@ -495,6 +495,7 @@ def overlapping_kmeans_partition(
     overlap: float = 0.2,
     eps: float = 0.05,
     metric: str = "l2",
+    requested_num_clusters: int | None = None,
 ) -> DataFrame:
     """SPANN-style overlap from centroid ratings (≙
     MakeOverlappingWithCentroids / OverlappingKMeansPartitioningSPANN,
@@ -504,6 +505,13 @@ def overlapping_kmeans_partition(
     first, budget charged only for placed rows (:210-218), strict cap
     (1+ε)n/s (:231). Leftover budget may go unused, like the reference
     (":219 possible assignments unused").
+
+    ``requested_num_clusters``: the reference derives the cap from the
+    *originally requested* k, not the (possibly inflated) number of base
+    shards — partition.cpp keeps the original k "so that it chooses the
+    correct max cluster size" (overlapping_partitioning.cpp:229-233). CLI
+    ORKM/OBKM/OGPS paths pass the pre-inflation k here; defaults to the
+    actual shard count.
 
     Scale shape: per-shard capacity windows + a driver-side water-fill of the
     budget across shards (k-row table) replace the reference's global
@@ -516,7 +524,7 @@ def overlapping_kmeans_partition(
     budget = int(overlap * n)
     if budget <= 0:
         return assignment.select("id", "shard")
-    cap_total = max_cluster_size(n, s, eps)
+    cap_total = max_cluster_size(n, requested_num_clusters or s, eps)
     rated = KM.assign_all_candidates(points, centroids, metric)
     sizes = {
         int(r["shard"]): int(r["c"])

@@ -31,14 +31,35 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gp_ann_spark.corpus.ingest import featurize
-from gp_ann_spark.operators.knn import incremental_knn_update, knn_edges
+from gp_ann_spark.corpus.ingest import dense_ids, featurize
+from gp_ann_spark.operators.knn import incremental_knn_delta, knn_edges, merge_topk
 
 REPO_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 
 def _sink_exists(path: str) -> bool:
-    return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _read_next_id(spark: SparkSession, points_dir: str) -> int:
+    """Next dense id from the one-row metadata sink — NOT a max(id) scan of
+    the full points table (at 10^12 rows that scan is a per-batch full-table
+    read). Falls back to the scan once when migrating a pre-metadata sink."""
+    meta_dir = points_dir + "_meta"
+    if _sink_exists(meta_dir):
+        return int(spark.read.parquet(meta_dir).collect()[0]["next_id"])
+    return int(spark.read.parquet(points_dir).agg(F.max("id")).collect()[0][0]) + 1
+
+
+def _write_next_id(spark: SparkSession, points_dir: str, next_id: int) -> None:
+    spark.createDataFrame([(int(next_id),)], "next_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(points_dir + "_meta")
 
 
 def ingest_stream(
@@ -50,9 +71,20 @@ def ingest_stream(
     k: int = 10,
     dim: int = 64,
     metric: str = "l2",
+    n_buckets: int = 16,
 ) -> None:
     """Drain the landing directory: dedup → featurize → maintain the k-NN
-    edge table. Blocks until the backlog is processed (availableNow)."""
+    edge table. Blocks until the backlog is processed (availableNow).
+
+    The edge sink is parquet PARTITIONED BY ``bucket = pmod(src, n_buckets)``
+    and each micro-batch rewrites only the buckets whose src set intersects
+    the changed ids (``incremental_knn_delta`` knows exactly which srcs can
+    change) via dynamic partition overwrite — untouched buckets' files are
+    left byte-identical on disk. At 10^12 edges this bounds the per-batch
+    write to O(changed buckets), where the old write-then-swap rewrote the
+    entire table twice per batch."""
+
+    bucket = F.pmod(F.col("src"), F.lit(n_buckets)).cast("int")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # 1. content-hash dedup WITHIN the batch (keep lexicographically
@@ -65,47 +97,57 @@ def ingest_stream(
         )
         # 2. ... and against the sink (anti-join on the hash — state lives in
         #    the sink, not the state store)
-        if _sink_exists(points_dir):
+        have_sink = _sink_exists(points_dir)
+        if have_sink:
             seen = spark.read.parquet(points_dir).select("sha256")
             batch_unique = batch_unique.join(seen, "sha256", "left_anti")
         batch_unique = batch_unique.localCheckpoint(eager=True)
-        if batch_unique.limit(1).count() == 0:
+        n_new = batch_unique.count()
+        if n_new == 0:
             return
-        # 3. dense ids continue from the sink's max id (deterministic within
-        #    the batch: rank by sha256)
-        offset = 0
-        existing = None
-        if _sink_exists(points_dir):
-            existing = spark.read.parquet(points_dir)
-            offset = existing.agg(F.max("id")).collect()[0][0] + 1
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(F.lit(0)).orderBy("sha256")
-        with_ids = batch_unique.withColumn(
-            "id", F.row_number().over(w).cast("long") - 1 + F.lit(offset)
+        # 3. dense ids continue from the metadata sink's next_id
+        #    (deterministic within the batch: rank by sha256, prefix-sum
+        #    assignment — no single-partition window)
+        offset = _read_next_id(spark, points_dir) if have_sink else 0
+        existing = spark.read.parquet(points_dir) if have_sink else None
+        with_ids = dense_ids(batch_unique, order_col="sha256").withColumn(
+            "id", F.col("id") + F.lit(offset)
         )
         new_pts = featurize(with_ids, dim=dim).join(
             with_ids.select("id", "sha256"), "id"
         ).localCheckpoint(eager=True)
-        # 4. maintain the EXACT edge table incrementally
+        # 4. maintain the EXACT edge table incrementally, rewriting only the
+        #    src-buckets that contain changed rows
         if existing is not None and _sink_exists(edges_dir):
-            edges = spark.read.parquet(edges_dir)
-            updated = incremental_knn_update(
+            edges = spark.read.parquet(edges_dir).select("src", "dst", "weight")
+            delta = incremental_knn_delta(
                 existing.select("id", "vec"), edges, new_pts.select("id", "vec"), k=k, metric=metric
-            )
-            # write-then-swap: `updated` still reads the old edge files
-            updated.write.mode("overwrite").parquet(edges_dir + "_next")
-            spark.read.parquet(edges_dir + "_next").write.mode("overwrite").parquet(edges_dir)
+            ).localCheckpoint(eager=True)
+            changed = [
+                int(r["b"]) for r in delta.select(bucket.alias("b")).distinct().collect()
+            ]
+            if changed:
+                old_changed = edges.where(bucket.isin(changed))
+                updated = merge_topk(old_changed.unionByName(delta), k).withColumn("bucket", bucket)
+                # stage, then dynamic-overwrite ONLY the changed bucket dirs
+                # (can't read+overwrite the same path in one job); both
+                # writes are O(changed buckets), not O(table)
+                staging = edges_dir + "_staging"
+                updated.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+                spark.read.parquet(staging).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("bucket").parquet(edges_dir)
         else:
             all_pts = new_pts.select("id", "vec")
             if existing is not None:
                 all_pts = all_pts.unionByName(existing.select("id", "vec"))
             n_all = all_pts.count()
             if n_all > 1:
-                knn_edges(all_pts, k=min(k, n_all - 1), metric=metric).write.mode(
-                    "overwrite"
-                ).parquet(edges_dir)
+                knn_edges(all_pts, k=min(k, n_all - 1), metric=metric).withColumn(
+                    "bucket", bucket
+                ).write.mode("overwrite").partitionBy("bucket").parquet(edges_dir)
         new_pts.write.mode("append").parquet(points_dir)
+        _write_next_id(spark, points_dir, offset + n_new)
 
     stream = spark.readStream.schema(REPO_SCHEMA).parquet(input_dir)
     q = (

@@ -32,10 +32,22 @@ def test_hierarchical_kmeans_leaves(spark, pts):
 
 
 def test_pyramid_partition_balance(spark, pts):
-    asn = H.pyramid_partition(pts, 5, eps=0.05, n_aggregates=16, sample_cap=200)
+    asn, ridx = H.pyramid_partition(pts, 5, eps=0.05, n_aggregates=16, sample_cap=200)
     assert asn.count() == 300
     assert asn.select("id").distinct().count() == 300
     assert P.imbalance(asn, 5) <= 1.05 + 1e-9
+    # routing-index side output (≙ partitioning.cpp:279-291): one row per
+    # aggregate, shard labels within range, usable by a centroid router
+    ri = ridx.collect()
+    assert len(ri) == 16
+    assert all(r["vec"] is not None for r in ri)
+    assert {r["shard"] for r in ri} <= set(range(5))
+    # the index IS a routing table: score queries against it directly
+    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(10)
+    scored = RT.score_routing_points(qs, ridx.select("shard", "vec"), num_voting=int(1e9))
+    routes = RT.probe_order(scored)
+    assert routes.select("query_id").distinct().count() == 10
+    assert {r["shard"] for r in routes.collect()} <= set(range(5))
 
 
 def test_our_pyramid_partition(spark, pts):

@@ -118,3 +118,51 @@ def test_points_bin_u8_widening(spark, tmp_path):
     assert b[5] == [float(v) for v in X[5]]
     # limit truncates like the reference's `size` arg (points_io.cpp:25-27)
     assert IO.read_points_bin(spark, path, fmt="u8bin", limit=4).count() == 4
+
+
+def test_ground_truth_bin_roundtrip_and_layout(spark, tmp_path, rng):
+    """The binary GT interchange must match the reference's ids-then-dists
+    layout exactly (points_io.cpp:136-179): header (nq,k) u32, then ALL
+    nq*k neighbor ids u32, then ALL nq*k dists f32 — verified against a
+    struct-written fixture, both directions."""
+    import struct
+
+    nq, k = 4, 3
+    ids = rng.integers(0, 1000, size=(nq, k)).astype(np.uint32)
+    dists = np.sort(rng.random(size=(nq, k)).astype(np.float32), axis=1)
+    path = str(tmp_path / "gt.bin")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", nq, k))
+        ids.tofile(f)
+        dists.tofile(f)
+
+    gt = IO.read_ground_truth_bin(spark, path)
+    rows = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["dist"]) for r in gt.collect()}
+    assert len(rows) == nq * k
+    for q in range(nq):
+        for j in range(k):
+            nid, d = rows[(q, j + 1)]
+            assert nid == int(ids[q, j])
+            assert abs(d - float(dists[q, j])) < 1e-7
+    # dispatch: a regular file routes to the binary reader
+    assert IO.read_ground_truth(spark, path).count() == nq * k
+
+    out = str(tmp_path / "gt2.bin")
+    IO.write_ground_truth_bin(gt, out)
+    with open(out, "rb") as f:
+        assert struct.unpack("<II", f.read(8)) == (nq, k)
+        back_ids = np.fromfile(f, dtype="<u4", count=nq * k).reshape(nq, k)
+        back_d = np.fromfile(f, dtype="<f4", count=nq * k).reshape(nq, k)
+    assert (back_ids == ids).all()
+    assert np.allclose(back_d, dists)
+
+
+def test_ground_truth_bin_rejects_ragged(spark, tmp_path):
+    gt = spark.createDataFrame(
+        [(0, 1, 5, 0.1), (0, 2, 6, 0.2), (1, 1, 7, 0.3)],
+        "query_id long, rank int, neighbor_id long, dist double",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="ragged"):
+        IO.write_ground_truth_bin(gt, str(tmp_path / "bad.bin"))

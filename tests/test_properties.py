@@ -30,9 +30,7 @@ def _greedy_reference(cands, caps):
     return placed
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(rng=_instances)
-def test_capacity_fill_matches_sequential_greedy(spark, rng):
+def _random_instance(rng):
     n_ids = int(rng.integers(2, 18))
     n_shards = int(rng.integers(1, 5))
     caps = {s: int(rng.integers(0, 6)) for s in range(n_shards)}
@@ -41,12 +39,67 @@ def test_capacity_fill_matches_sequential_greedy(spark, rng):
         for s in rng.choice(n_shards, size=rng.integers(1, n_shards + 1), replace=False):
             # coarse scores on purpose: tie-break paths must be exercised
             cands.append((float(rng.integers(0, 5)), i, int(s)))
+    return cands, caps
+
+
+def _run_capacity_fill(spark, cands, caps):
     scored = spark.createDataFrame(
         [(i, s, sc) for sc, i, s in cands], "id long, shard int, dist double"
     )
     caps_df = spark.createDataFrame([(s, c) for s, c in caps.items()], "shard int, cap int")
-    out = {r["id"]: r["shard"] for r in KM.capacity_fill(scored, caps_df).collect()}
-    assert out == _greedy_reference(cands, caps)
+    return {r["id"]: r["shard"] for r in KM.capacity_fill(scored, caps_df).collect()}
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(rng=_instances)
+def test_capacity_fill_matches_sequential_greedy(spark, rng):
+    cands, caps = _random_instance(rng)
+    assert _run_capacity_fill(spark, cands, caps) == _greedy_reference(cands, caps)
+
+
+def test_capacity_fill_greedy_seed_sweep(spark):
+    """Deterministic 2000-seed sweep: the relational deferred-acceptance
+    fill must be extensionally EQUAL to the reference's sequential greedy
+    (overlapping_partitioning.cpp:205-222) on every instance. The pass
+    structure is validated driver-side on all 2000 seeds (instant); a fixed
+    ~15-instance sample additionally runs end-to-end through Spark."""
+    import random
+
+    check_spark = random.Random(7)
+    for seed in range(2000):
+        rng = np.random.default_rng(seed)
+        cands, caps = _random_instance(rng)
+        greedy = _greedy_reference(cands, caps)
+        da = _deferred_acceptance(cands, caps)
+        assert da == greedy, f"seed {seed}: {da} != {greedy}"
+        if check_spark.random() < 0.0075:  # ~15 instances end-to-end via Spark
+            assert _run_capacity_fill(spark, cands, caps) == greedy, f"seed {seed}"
+
+
+def _deferred_acceptance(cands, caps):
+    """Driver-side mirror of capacity_fill's pass structure (kmeans.py):
+    Gale–Shapley with eviction — tentative holds, rejected pairs deleted,
+    loop until a pass rejects nothing."""
+    live_caps = {s: c for s, c in caps.items() if c > 0}
+    remaining = {(score, i, s) for score, i, s in cands if s in live_caps}
+    while True:
+        best = {}
+        for c in remaining:
+            i = c[1]
+            if i not in best or c < best[i]:
+                best[i] = c
+        by_shard = {}
+        for c in best.values():
+            by_shard.setdefault(c[2], []).append(c)
+        rejected = set()
+        for s, props in by_shard.items():
+            props.sort()
+            rejected.update(props[live_caps[s]:])
+        if not rejected:
+            return {c[1]: c[2] for c in best.values()}
+        remaining -= rejected
+        if not remaining:
+            return {}
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))

@@ -24,6 +24,7 @@ Points/queries load from the reference's `.fbin/.u8bin/.i8bin` or parquet.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 
@@ -82,7 +83,7 @@ def cmd_partition(spark, args):
     elif method == "GP":
         asn = P.graph_partition(_knn_edges_auto(pts), k, eps=EPS)
     elif method == "Pyramid":
-        asn = H.pyramid_partition(pts, k, eps=EPS)
+        asn, _ = H.pyramid_partition(pts, k, eps=EPS)
     elif method == "KMeans":
         asn = P.kmeans_partition(pts, k, eps=EPS)
     elif method == "BalancedKMeans":
@@ -99,7 +100,8 @@ def cmd_partition(spark, args):
         base = P.graph_partition(edges, k_adj, eps=EPS)
         cover = P.overlapping_partition(edges, base, overlap=overlap, num_shards=k_adj)
     elif method in ("OKM", "ORKM", "OGPS", "OBKM"):
-        k_adj = -(-int(n + overlap * n) // cap) if method == "OGPS" else -(-int(k * (1 + overlap)) // 1)
+        # ceil(k*(1+o)) like the reference's std::ceil (partition.cpp ORKM/OBKM)
+        k_adj = -(-int(n + overlap * n) // cap) if method == "OGPS" else math.ceil(k * (1 + overlap))
         if method == "OKM":
             base = P.kmeans_partition(pts, k, eps=EPS)
         elif method == "ORKM":
@@ -113,7 +115,11 @@ def cmd_partition(spark, args):
 
         cpd = cents.orderBy("shard").toPandas()
         cmat = np.stack(cpd["vec"].to_numpy())
-        cover = P.overlapping_kmeans_partition(pts, base, cmat, overlap=overlap, eps=EPS)
+        # cap derives from the ORIGINAL k, not the inflated base shard count
+        # (partition.cpp keeps k "so that it chooses the correct max cluster size")
+        cover = P.overlapping_kmeans_partition(
+            pts, base, cmat, overlap=overlap, eps=EPS, requested_num_clusters=k
+        )
     else:
         raise SystemExit(f"unknown method {method}")
     if cover is not None:
@@ -136,12 +142,17 @@ def cmd_query_attribution(spark, args):
     pts = _load_points(spark, points_path).cache()
     qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
     if os.path.exists(gt_file) or os.path.isdir(gt_file):
+        # read_ground_truth dispatches: dir = parquet, file = the
+        # reference's ids-then-dists binary (points_io.cpp:136-160)
         gt = IO.read_ground_truth(spark, gt_file)
         gt, _, report = R.validate_ground_truth(gt, pts, qs, k)  # ≙ the eps sweep + repair
         print("gt validation:", json.dumps({str(k_): v for k_, v in report.items()}, default=str))
     else:
         gt = R.ground_truth(pts, qs, k=k)
-        IO.write_ground_truth(gt, gt_file)
+        if gt_file.endswith(".bin"):
+            IO.write_ground_truth_bin(gt, gt_file)
+        else:
+            IO.write_ground_truth(gt, gt_file)
     gt = gt.localCheckpoint(eager=True)
     cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
     pdf = SW.routing_sweep_pareto(pts, cover, qs, gt, k=k, num_shards=shards)
