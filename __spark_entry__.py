@@ -552,6 +552,52 @@ def q_approx_knn_quality(spark, sf_dir):
     )
 
 
+def q_ann_shard_invariants(spark, sf_dir):
+    """Sublinear in-shard ANN kernel gate (≙ InvertedIndexHNSW,
+    inverted_index_hnsw.h:10-78, ef sweep shard_searches.cpp:13): (a) at
+    full candidate budget the IVF probe must equal the exact in-shard probe
+    EXACTLY (every cell scanned → brute force); (b) recall vs the exact
+    search is monotone in ef (candidate sets are nested by construction);
+    (c) at ef=200 the kernel reaches the declared recall floor on the
+    embeddings table. Exhaustive routes isolate the kernel from routing."""
+    emb = _emb(spark, sf_dir)
+    pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).localCheckpoint(eager=True)
+    cells = emb.select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
+    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(50).localCheckpoint(eager=True)
+    n_shards = cells.agg(F.max("shard")).collect()[0][0] + 1
+    shards = F.broadcast(spark.createDataFrame([(int(s),) for s in range(n_shards)], "shard int"))
+    routes = qs.select("query_id").crossJoin(shards).withColumn(
+        "probe_rank", F.col("shard") + 1
+    ).localCheckpoint(eager=True)
+    sp = S.shard_points(pts, cells).localCheckpoint(eager=True)
+
+    def hits(in_shard, ef):
+        res = S.merge_results(
+            S.probe_shards(sp, qs, routes, k=K, in_shard=in_shard, ef=ef), k=K
+        )
+        return res.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+
+    exact = hits("exact", 0)
+    full = hits("ivf", 1_000_000_000)
+    n_exact = exact.count()
+    diff_full = (
+        exact.exceptAll(full).count() + full.exceptAll(exact).count()
+    )
+    recalls = {}
+    for ef in (50, 200, 400):
+        got = hits("ivf", ef)
+        recalls[ef] = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count() / n_exact
+    return spark.createDataFrame(
+        [(
+            int(n_exact),
+            bool(diff_full == 0),
+            bool(recalls[50] <= recalls[200] + 1e-9 and recalls[200] <= recalls[400] + 1e-9),
+            bool(recalls[200] >= 0.55),
+        )],
+        "n_exact_hits long, exact_at_full_budget boolean, recall_monotone_in_ef boolean, recall_floor_ef200 boolean",
+    )
+
+
 def q_media_features(spark, sf_dir):
     # The ARRAY<FLOAT> feature column is not canonicalizable by the driver's
     # rows-only pandas sort (lists are unhashable) — emit a scalar projection
@@ -613,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_recall_curve": q_routing_recall_curve,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "ann_shard_invariants": q_ann_shard_invariants,
         "graph_partition_invariants": q_graph_partition_invariants,
         "kmeans_partition_invariants": q_kmeans_partition_invariants,
         "approx_knn_quality": q_approx_knn_quality,
@@ -950,6 +997,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT sha256(text)) AS n_points, "
             "true AS one_row_per_hash, true AS edges_match_rebuild "
             "FROM documents WHERE doc_id < 60"
+        ),
+        "ann_shard_invariants": (
+            "SELECT least(50, count(*)) * 10 AS n_exact_hits, "
+            "true AS exact_at_full_budget, true AS recall_monotone_in_ef, "
+            "true AS recall_floor_ef200 FROM embeddings"
         ),
         # full value oracle for the multimodal feature path: synth_media's
         # payload is CAST(sha2(id||':42',256) AS BINARY) — i.e. the UTF-8

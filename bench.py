@@ -29,6 +29,7 @@ from gp_ann_spark.operators import knn as KNN
 from gp_ann_spark.operators import knn_approx as KA
 from gp_ann_spark.operators import partition as P
 from gp_ann_spark.operators import routing as RT
+from gp_ann_spark.operators import sweep as SW
 from gp_ann_spark.operators import text_analysis as TA
 from gp_ann_spark.session import get_spark
 
@@ -119,7 +120,31 @@ def main() -> None:
     curve = timed("route_recall_curve", route_and_eval)
     for row in curve[:4]:
         extra[f"recall@{K}_probes{row['nprobes']}"] = round(row["recall"], 4)
-    # 8-9. corpus-side stages
+    # 8. flagship sweep: route configs × in-shard ef sweep → recall/QPS
+    # Pareto (≙ route_search_combination.cpp:121-226 with the sublinear
+    # in-shard kernel, the reference's headline experiment)
+    def sweep_pareto():
+        pdf = SW.routing_sweep_pareto(
+            points,
+            asn,
+            qs.limit(200),
+            gt,
+            k=K,
+            num_shards=NUM_SHARDS,
+            budgets=(512,),
+            num_voting_list=(80,),
+            policies=("min_dist",),
+            nprobes_values=(1, 2, 4),
+            in_shard="ivf",
+            ef_values=(100, 300),
+        )
+        return pdf
+
+    pareto = timed("routing_sweep_pareto", sweep_pareto, reps=1)
+    extra["pareto_points"] = int(pareto["pareto"].sum())
+    best = pareto[pareto["pareto"]].sort_values("recall").iloc[-1]
+    extra["pareto_best_recall"] = round(float(best["recall"]), 4)
+    # 9-10. corpus-side stages
     timed("minhash_lsh_pairs", lambda: DD.minhash_band_pairs(DD.minhash_signatures(docs)).count())
     timed(
         "text_quality_lang",

@@ -1,0 +1,94 @@
+"""Sublinear in-shard ANN kernel: a two-level IVF built per shard, in-task.
+
+≙ ``src/inverted_index_hnsw.h:10-78`` — the reference needs a sublinear
+per-shard index because exact in-shard scans cannot hit QPS targets at
+25M-point shards; it uses hnswlib with per-shard seed 555+b
+(``shard_searches.cpp:38-44``: shuffled insert, seq prefix then parallel)
+and sweeps ``ef_search`` ∈ {50..500} (:13). The Spark-idiomatic analog is a
+NumPy IVF built inside the same ``applyInPandas`` task that already holds
+the shard's points:
+
+- **build**: mini k-means to ``⌈√n⌉`` cells (seeded 555+shard like the
+  reference's per-shard HNSW seed), members CSR-packed by cell — O(n·√n·d)
+  once per task, no graph construction, fully BLAS;
+- **query**: rank cells by centroid distance, take cells until the
+  candidate budget ``ef`` is covered, brute-force only those members —
+  O(√n·d + ef·d) per query instead of O(n·d). ``ef`` has the same
+  semantics as HNSW's dynamic-list size: the number of candidate points
+  examined, so the reference's ef_search sweep maps 1:1.
+
+The kernel is exact once ef ≥ shard size (every cell probed), which anchors
+its recall to the existing exact in-shard oracle (search.probe_shards).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gp_ann_spark.functions.distances import distance_matrix, pairwise_sqr_l2
+
+# the reference's ef_search sweep (shard_searches.cpp:13)
+EF_SWEEP = (50, 80, 100, 150, 200, 250, 300, 400, 500)
+
+
+def build_ivf(X: np.ndarray, seed: int, n_cells: int | None = None, n_iter: int = 3):
+    """Cluster the shard's points into ``n_cells`` (default ⌈√n⌉) cells.
+
+    Returns ``(C, order, starts, ends)``: cell centroids, point indices
+    CSR-packed by cell (``order[starts[c]:ends[c]]`` = members of cell c).
+    Seeded sampling ≙ the reference's per-shard random_seed 555+b.
+    """
+    n = len(X)
+    c = min(n, n_cells or max(1, int(np.ceil(np.sqrt(n)))))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(n, size=c, replace=False)].astype(np.float64).copy()
+    for _ in range(n_iter):
+        a = pairwise_sqr_l2(X, C).argmin(1)
+        # vectorized mean update: sum per cell / count per cell
+        counts = np.bincount(a, minlength=c).astype(np.float64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    a = pairwise_sqr_l2(X, C).argmin(1)
+    order = np.argsort(a, kind="stable")
+    sorted_a = a[order]
+    starts = np.searchsorted(sorted_a, np.arange(c))
+    ends = np.searchsorted(sorted_a, np.arange(c) + 1)
+    return C, order, starts, ends
+
+
+def ivf_search(
+    Q: np.ndarray,
+    X: np.ndarray,
+    index,
+    k: int,
+    ef: int,
+    metric: str = "l2",
+):
+    """Top-k per query under candidate budget ``ef``.
+
+    Returns ``(idx, dist)`` arrays of shape (nq, ≤k): positions into X and
+    their distances, each row sorted ascending with stable (dist, position)
+    order — the same tie-break the exact path uses.
+    """
+    C, order, starts, ends = index
+    sizes = ends - starts
+    d_qc = distance_matrix(Q, C, metric)
+    cell_rank = np.argsort(d_qc, axis=1, kind="stable")
+    out_idx = []
+    out_dist = []
+    for qi in range(len(Q)):
+        co = cell_rank[qi]
+        csum = np.cumsum(sizes[co])
+        # probe cells until the budget is covered (≥ ef candidates seen)
+        n_cells_q = min(len(co), int(np.searchsorted(csum, ef) + 1))
+        cand = np.concatenate([order[starts[cc] : ends[cc]] for cc in co[:n_cells_q]])
+        d = distance_matrix(Q[qi : qi + 1], X[cand], metric)[0]
+        kk = min(k, len(cand))
+        part = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+        # stable sort by (dist, original position) like the exact kernel
+        srt = np.lexsort((cand[part], d[part]))
+        out_idx.append(cand[part][srt])
+        out_dist.append(d[part][srt])
+    return out_idx, out_dist

@@ -10,10 +10,15 @@ the message exchange).
 Spark-first design: points are **co-partitioned by shard** (the relational
 form of the reference's CSR-blocked inverted index, north_star), the probe
 plan ``(query, shard)`` is joined with query vectors and cogrouped with the
-points by shard; one ``applyInPandas`` per shard runs the blocked BLAS
-top-k for every query probing that shard. In-shard search is exact
-(per SURVEY §2.10: recall semantics are matched against exact oracles; the
-reference's per-shard HNSW is an approximation of exactly this operator).
+points by shard; one ``applyInPandas`` per shard runs the in-shard kernel
+for every query probing that shard. Two kernels:
+
+- ``in_shard="exact"``: blocked BLAS top-k (≙ InvertedIndex,
+  inverted_index.h:12-60) — the oracle, O(n_shard·d) per query;
+- ``in_shard="ivf"``: the sublinear IVF kernel (≙ InvertedIndexHNSW,
+  inverted_index_hnsw.h:10-78; see operators/ivf_shard.py) with the
+  candidate budget ``ef`` as the reference's ef_search analog — the path
+  that holds at 25M-point shards.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ from pyspark.sql import functions as F
 
 from gp_ann_spark.checkpoint import realias
 from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.operators.ivf_shard import build_ivf, ivf_search
 
 
 def shard_points(points: DataFrame, assignment: DataFrame) -> DataFrame:
@@ -43,14 +49,21 @@ def probe_shards(
     k: int = 10,
     nprobes: int | None = None,
     metric: str = "l2",
+    in_shard: str = "exact",
+    ef: int = 200,
+    seed: int = 555,
 ) -> DataFrame:
     """Search each query in every shard it probes.
 
     ``routes`` = (query_id, shard, probe_rank); only rows with
     probe_rank ≤ nprobes are executed. Returns
     (query_id, shard, probe_rank, neighbor_id, dist) — per-(query,shard)
-    top-k (≙ InvertedIndex::QueryBucket inverted_index.h:43-60).
+    top-k (≙ InvertedIndex::QueryBucket inverted_index.h:43-60; with
+    ``in_shard="ivf"`` ≙ InvertedIndexHNSW::QueryBucket at ef_search=``ef``,
+    inverted_index_hnsw.h:69-78).
     """
+    if in_shard not in ("exact", "ivf"):
+        raise ValueError(f"in_shard must be 'exact' or 'ivf', got {in_shard!r}")
     probe = routes if nprobes is None else routes.where(F.col("probe_rank") <= nprobes)
     probe_q = probe.join(queries.select("query_id", "vec"), "query_id").select(
         "shard", "query_id", "probe_rank", "vec"
@@ -64,10 +77,23 @@ def probe_shards(
         X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
         ids = points_pdf["id"].to_numpy()
         Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
+        shard = int(points_pdf["shard"].iloc[0])
+        if in_shard == "ivf":
+            index = build_ivf(X, seed=seed + shard)
+            idx_rows, dist_rows = ivf_search(Q, X, index, k, ef, metric)
+            lens = [len(r) for r in idx_rows]
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(queries_pdf["query_id"].to_numpy(), lens),
+                    "shard": shard,
+                    "probe_rank": np.repeat(queries_pdf["probe_rank"].to_numpy(), lens),
+                    "neighbor_id": ids[np.concatenate(idx_rows)] if len(Q) else [],
+                    "dist": np.concatenate(dist_rows) if len(Q) else [],
+                }
+            )
         d = distance_matrix(Q, X, metric)
         kk = min(k, d.shape[1])
         idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1)
-        shard = int(points_pdf["shard"].iloc[0])
         return pd.DataFrame(
             {
                 "query_id": np.repeat(queries_pdf["query_id"].to_numpy(), kk),
@@ -100,9 +126,12 @@ def search_pipeline(
     k: int = 10,
     nprobes: int = 2,
     metric: str = "l2",
+    in_shard: str = "exact",
+    ef: int = 200,
 ) -> DataFrame:
     """route → probe → merge (the reference's serving path,
-    small_scale_queries.cpp:146-188, minus the recall eval)."""
+    small_scale_queries.cpp:146-188, minus the recall eval).
+    ``in_shard="ivf"`` swaps the exact probe for the sublinear kernel."""
     sp = shard_points(points, assignment)
-    sr = probe_shards(sp, queries, routes, k=k, nprobes=nprobes, metric=metric)
+    sr = probe_shards(sp, queries, routes, k=k, nprobes=nprobes, metric=metric, in_shard=in_shard, ef=ef)
     return merge_results(sr, k=k)

@@ -9,10 +9,13 @@ simulated QPS with greedy replica assignment, Pareto front).
 Spark-first: one cogrouped ``applyInPandas`` per shard executes every query
 probing it and reports wall time per (shard, query) batch from inside the
 task (real executor-side timings — the distributed analogue of the
-reference's per-shard timers). The ef_search sweep collapses to a single
-exact search (SURVEY §2.10: in-shard HNSW is an approximation of this exact
-operator; recall semantics are anchored to exact oracles). Serialization is
-Parquet round-trips of the ``routes`` / ``shard_results`` relations.
+reference's per-shard timers). ``run_in_shard_searches`` is the exact
+single-setting path (recall semantics anchored to exact oracles);
+``run_in_shard_searches_sweep`` is the reference's actual protocol — build
+the sublinear index ONCE per shard, then sweep ef_search over all queries
+(shard_searches.cpp:38-68) using the IVF kernel (operators/ivf_shard.py).
+Serialization is Parquet round-trips of the ``routes`` / ``shard_results``
+relations.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from pyspark.sql import functions as F
 
 from gp_ann_spark.checkpoint import realias
 from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.operators.ivf_shard import EF_SWEEP, build_ivf, ivf_search
 
 
 def run_in_shard_searches(
@@ -80,6 +84,66 @@ def run_in_shard_searches(
     return sharded_points.groupBy("shard").cogroup(realias(probe_q).groupBy("shard")).applyInPandas(
         search,
         schema="shard int, query_id long, probe_rank int, neighbors array<bigint>, time_s double",
+    )
+
+
+def run_in_shard_searches_sweep(
+    sharded_points: DataFrame,
+    queries: DataFrame,
+    routes: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    reps: int = 3,
+    ef_values: Iterable[int] = EF_SWEEP,
+    seed: int = 555,
+) -> DataFrame:
+    """The reference's actual per-shard protocol (shard_searches.cpp:22-68):
+    build the sublinear index ONCE per shard, then for each ef_search run
+    every query probing that shard, timing median-of-``reps``. Here the
+    index is the in-task IVF kernel and ``ef`` is the candidate budget
+    (ivf_shard.py). Returns ``(shard, query_id, probe_rank, ef, neighbors,
+    time_s)`` — one row set per ef value, all from one task per shard.
+    """
+    ef_list = sorted(set(int(e) for e in ef_values))
+    probe_q = routes.join(queries.select("query_id", "vec"), "query_id").select(
+        "shard", "query_id", "probe_rank", "vec"
+    )
+
+    def search(points_pdf: pd.DataFrame, queries_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(points_pdf) == 0 or len(queries_pdf) == 0:
+            return pd.DataFrame(
+                {"shard": [], "query_id": [], "probe_rank": [], "ef": [], "neighbors": [], "time_s": []}
+            ).astype({"shard": "int32", "query_id": "int64", "probe_rank": "int32", "ef": "int32", "time_s": "float64"}, errors="ignore")
+        X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
+        ids = points_pdf["id"].to_numpy()
+        Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
+        shard = int(points_pdf["shard"].iloc[0])
+        index = build_ivf(X, seed=seed + shard)
+        frames = []
+        for ef in ef_list:
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                idx_rows, _dist_rows = ivf_search(Q, X, index, k, ef, metric)
+                times.append(time.perf_counter() - t0)
+            per_query = float(np.median(times)) / len(Q)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "shard": np.int32(shard),
+                        "query_id": queries_pdf["query_id"].to_numpy(),
+                        "probe_rank": queries_pdf["probe_rank"].to_numpy().astype(np.int32),
+                        "ef": np.int32(ef),
+                        "neighbors": [ids[r].tolist() for r in idx_rows],
+                        "time_s": per_query,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return sharded_points.groupBy("shard").cogroup(realias(probe_q).groupBy("shard")).applyInPandas(
+        search,
+        schema="shard int, query_id long, probe_rank int, ef int, neighbors array<bigint>, time_s double",
     )
 
 

@@ -146,16 +146,23 @@ def routing_sweep_pareto(
     policies: Sequence[str] = RT.POLICIES,
     metric: str = "l2",
     seed: int = SEED,
+    in_shard: str = "exact",
+    ef_values: Iterable[int] | None = None,
 ) -> pd.DataFrame:
     """End-to-end recall/QPS Pareto table (≙ route_search_combination.cpp:
     121-226): every route config × the timed in-shard search sweep →
     (config, nprobes, recall, qps) rows with a global Pareto flag.
+
+    ``in_shard="ivf"`` runs the reference's full experiment shape: the
+    sublinear in-shard kernel swept over the ef grid, so the output exposes
+    the ef-vs-nprobes recall/QPS trade-off (ef column; 0 = exact search).
 
     Output is a config-grid-sized pandas frame (the reference also
     post-processes driver-side); all heavy stages are DataFrame programs.
     """
     num_shards = num_shards or (assignment.agg(F.max("shard")).collect()[0][0] + 1)
     nprobes_values = list(nprobes_values or range(1, num_shards + 1))
+    ef_list = sorted(set(int(e) for e in (ef_values or SS.EF_SWEEP)))
     nq = queries.count()
     configs = iterate_routing_configs(
         points, assignment, queries, gt, k, num_shards, budgets, num_voting_list,
@@ -164,22 +171,31 @@ def routing_sweep_pareto(
     sharded = S.shard_points(points, assignment).localCheckpoint(eager=True)
     rows = []
     for cfg in configs:
-        sr = SS.run_in_shard_searches(sharded, queries, cfg["routes"], k=k, metric=metric)
-        sr = sr.localCheckpoint(eager=True)
-        grid = SS.recall_qps_grid(sr, gt, k, nq, nprobes_values)
-        for _, g in grid.iterrows():
-            rows.append(
-                {
-                    "algorithm": cfg["algorithm"],
-                    "budget": cfg["budget"],
-                    "num_voting": cfg["num_voting"],
-                    "first_shard_recall": cfg["first_shard_recall"],
-                    "nprobes": int(g["nprobes"]),
-                    "recall": float(g["recall"]),
-                    "qps": float(g["qps"]),
-                }
-            )
-        release_local_checkpoint(sr)
+        if in_shard == "ivf":
+            sr_all = SS.run_in_shard_searches_sweep(
+                sharded, queries, cfg["routes"], k=k, metric=metric, ef_values=ef_list, seed=seed,
+            ).localCheckpoint(eager=True)
+            sweeps = [(ef, sr_all.where(F.col("ef") == ef).drop("ef")) for ef in ef_list]
+        else:
+            sr_all = SS.run_in_shard_searches(sharded, queries, cfg["routes"], k=k, metric=metric)
+            sr_all = sr_all.localCheckpoint(eager=True)
+            sweeps = [(0, sr_all)]
+        for ef, sr in sweeps:
+            grid = SS.recall_qps_grid(sr, gt, k, nq, nprobes_values)
+            for _, g in grid.iterrows():
+                rows.append(
+                    {
+                        "algorithm": cfg["algorithm"],
+                        "budget": cfg["budget"],
+                        "num_voting": cfg["num_voting"],
+                        "first_shard_recall": cfg["first_shard_recall"],
+                        "ef": int(ef),
+                        "nprobes": int(g["nprobes"]),
+                        "recall": float(g["recall"]),
+                        "qps": float(g["qps"]),
+                    }
+                )
+        release_local_checkpoint(sr_all)
     release_local_checkpoint(sharded)
     pdf = pd.DataFrame(rows)
     # global Pareto across ALL configs (reference keeps the non-dominated set)

@@ -1,0 +1,94 @@
+"""The sublinear in-shard IVF kernel (≙ InvertedIndexHNSW,
+inverted_index_hnsw.h:10-78) and its ef sweep (shard_searches.cpp:13)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gp_ann_spark.functions.distances import distance_matrix
+from gp_ann_spark.operators import search as S
+from gp_ann_spark.operators import shard_searches as SS
+from gp_ann_spark.operators.ivf_shard import build_ivf, ivf_search
+from tests.conftest import make_points_df
+
+
+@pytest.fixture(scope="module")
+def xq():
+    rng = np.random.default_rng(7)
+    # clustered data (IVF's operating regime): 8 gaussian blobs
+    centers = rng.normal(scale=6.0, size=(8, 16))
+    X = np.concatenate([c + rng.normal(size=(120, 16)) for c in centers])
+    Q = X[rng.choice(len(X), 40, replace=False)] + rng.normal(scale=0.05, size=(40, 16))
+    return X.astype(np.float64), Q.astype(np.float64)
+
+
+def test_build_ivf_partitions_all_points(xq):
+    X, _ = xq
+    C, order, starts, ends = build_ivf(X, seed=555)
+    assert sorted(order.tolist()) == list(range(len(X)))
+    covered = np.concatenate([order[s:e] for s, e in zip(starts, ends)])
+    assert sorted(covered.tolist()) == list(range(len(X)))
+
+
+def test_ivf_exact_at_full_budget_and_monotone(xq):
+    X, Q = xq
+    idx = build_ivf(X, seed=555)
+    exact = distance_matrix(Q, X, "l2").argsort(axis=1, kind="stable")[:, :10]
+    got_full, dist_full = ivf_search(Q, X, idx, 10, ef=len(X))
+    prev = -1.0
+    for ef in (50, 150, 400, len(X)):
+        got, _ = ivf_search(Q, X, idx, 10, ef=ef)
+        rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(len(Q))])
+        assert rec >= prev - 1e-12  # nested candidate sets → monotone
+        prev = rec
+    assert prev == 1.0  # full budget probes every cell → exact
+    for i in range(len(Q)):
+        assert set(got_full[i]) == set(exact[i])
+        assert (np.diff(dist_full[i]) >= -1e-12).all()  # rows sorted
+
+
+def test_ivf_deterministic(xq):
+    X, Q = xq
+    a = ivf_search(Q, X, build_ivf(X, seed=555), 10, ef=100)
+    b = ivf_search(Q, X, build_ivf(X, seed=555), 10, ef=100)
+    for ra, rb in zip(a[0], b[0]):
+        assert (ra == rb).all()
+
+
+def test_probe_shards_ivf_matches_exact_at_full_ef(spark, rng):
+    X = rng.normal(size=(200, 8)).astype(np.float32)
+    pts = make_points_df(spark, X).cache()
+    asn = pts.select("id", (F.pmod("id", F.lit(4))).cast("int").alias("shard"))
+    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(15)
+    shards = spark.createDataFrame([(s,) for s in range(4)], "shard int")
+    routes = qs.select("query_id").crossJoin(shards).withColumn("probe_rank", F.col("shard") + 1)
+    sp = S.shard_points(pts, asn).localCheckpoint(eager=True)
+    exact = S.merge_results(S.probe_shards(sp, qs, routes, k=5), 5)
+    ivf = S.merge_results(S.probe_shards(sp, qs, routes, k=5, in_shard="ivf", ef=10**9), 5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    v = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert e == v
+
+
+def test_run_in_shard_searches_sweep(spark, rng):
+    X = rng.normal(size=(300, 8)).astype(np.float32)
+    pts = make_points_df(spark, X).cache()
+    asn = pts.select("id", (F.pmod("id", F.lit(3))).cast("int").alias("shard"))
+    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(10)
+    shards = spark.createDataFrame([(s,) for s in range(3)], "shard int")
+    routes = qs.select("query_id").crossJoin(shards).withColumn("probe_rank", F.col("shard") + 1)
+    sp = S.shard_points(pts, asn).localCheckpoint(eager=True)
+    sr = SS.run_in_shard_searches_sweep(
+        sp, qs, routes, k=5, ef_values=(20, 1000), reps=1
+    ).localCheckpoint(eager=True)
+    efs = sorted(r["ef"] for r in sr.select("ef").distinct().collect())
+    assert efs == [20, 1000]
+    assert sr.where(F.size("neighbors") > 5).count() == 0
+    assert sr.where(F.col("time_s") <= 0).count() == 0
+    # ef=1000 ≥ every shard size → per-shard hits equal the exact path's
+    exact = SS.run_in_shard_searches(sp, qs, routes, k=5, reps=1)
+    big = sr.where(F.col("ef") == 1000).select(
+        "shard", "query_id", F.explode("neighbors").alias("n")
+    )
+    ex = exact.select("shard", "query_id", F.explode("neighbors").alias("n"))
+    assert big.exceptAll(ex).count() + ex.exceptAll(big).count() == 0

@@ -69,3 +69,30 @@ def test_routing_sweep_pareto_table(spark, rng):
     rest = pdf[~pdf["pareto"]]
     for _, r in rest.iterrows():
         assert any((f["recall"] >= r["recall"]) and (f["qps"] >= r["qps"]) for _, f in front.iterrows())
+
+
+def test_routing_sweep_pareto_ivf_ef_axis(spark, rng):
+    """With in_shard='ivf' the grid gains the ef axis (the reference's
+    ef_search sweep, shard_searches.cpp:13): per (config, nprobes), recall
+    is monotone in ef and the largest ef (≥ shard sizes) matches the exact
+    kernel's recall."""
+    pts, asn, qs, gt = _setup(spark, rng)
+    exact = SW.routing_sweep_pareto(
+        pts, asn, qs, gt, k=5, num_shards=4, budgets=(256,), num_voting_list=(20,),
+        nprobes_values=(1, 4), policies=("min_dist",),
+    )
+    pdf = SW.routing_sweep_pareto(
+        pts, asn, qs, gt, k=5, num_shards=4, budgets=(256,), num_voting_list=(20,),
+        nprobes_values=(1, 4), policies=("min_dist",), in_shard="ivf",
+        ef_values=(20, 1000),
+    )
+    assert sorted(pdf["ef"].unique()) == [20, 1000]
+    assert len(pdf) == 2 * len(exact)
+    for key, grp in pdf.groupby(["algorithm", "budget", "num_voting", "nprobes"]):
+        by_ef = grp.sort_values("ef")["recall"].to_numpy()
+        assert (np.diff(by_ef) >= -1e-12).all()  # nested candidates → monotone
+    # ef=1000 covers every shard → identical recall to the exact kernel
+    big = pdf[pdf["ef"] == 1000].set_index(["algorithm", "nprobes"])["recall"]
+    ex = exact.set_index(["algorithm", "nprobes"])["recall"]
+    for idx in ex.index:
+        assert abs(big.loc[idx] - ex.loc[idx]) < 1e-9
