@@ -175,6 +175,32 @@ def centroid_router(
     return probe_order(scored, policy=policy)
 
 
+def uniform_sample_router(
+    queries: DataFrame,
+    points: DataFrame,
+    assignment: DataFrame,
+    budget: int,
+    metric: str = "l2",
+    policy: str = "min_dist",
+    seed: int = 420,
+) -> DataFrame:
+    """Uniform-random-sample routing baseline (≙ the "uniform sample" arm of
+    analyze_approximation_losses.cpp:223-237): ``budget`` seed-420 sampled
+    points become routing points labeled with their own shard; routes come
+    from brute-force scoring against them. Deterministic hash-rank sample
+    (orderBy+limit compiles to a distributed TakeOrdered, no global sort
+    shuffle; the reference uses std::sample with mt19937(420))."""
+    rp = (
+        points.select("id", "vec")
+        .orderBy(F.xxhash64("id", F.lit(seed)))
+        .limit(int(budget))
+        .join(assignment, "id")
+        .select("shard", "vec")
+    )
+    scored = score_routing_points(queries, rp, num_voting=int(1e9), metric=metric)
+    return probe_order(scored, policy=policy)
+
+
 # ------------------------------------------------------ k-means tree router
 def train_kmeans_tree(
     points: DataFrame,

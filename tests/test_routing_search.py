@@ -151,3 +151,32 @@ def test_validate_ground_truth_detects_and_repairs(spark, rng):
         .count()
     )
     assert diff == 0
+
+
+def test_uniform_sample_router_baseline(spark, setup):
+    """≙ the 'uniform sample' arm (analyze_approximation_losses.cpp:223-237):
+    seed-420 sampled routing points, each labeled with its own shard. A
+    large-budget sample must route at least as well as the random order and
+    produce a valid probe permutation per query."""
+    points, queries, assignment, gt, nq = setup
+    routes = RT.uniform_sample_router(queries, points, assignment, budget=64)
+    # valid permutation of probed shards per query
+    per_q = routes.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("shard").alias("s"),
+        F.max("probe_rank").alias("mx"),
+    )
+    assert per_q.where(F.col("n") != F.col("s")).count() == 0
+    assert per_q.where(F.col("mx") != F.col("n")).count() == 0
+    # deterministic across invocations (seeded sample)
+    again = RT.uniform_sample_router(queries, points, assignment, budget=64)
+    a = {(r["query_id"], r["shard"], r["probe_rank"]) for r in routes.collect()}
+    b = {(r["query_id"], r["shard"], r["probe_rank"]) for r in again.collect()}
+    assert a == b
+    r_sample = R.first_shard_recall(gt, assignment, routes, 10, nq)
+    rand_routes = (
+        queries.select("query_id").crossJoin(spark.range(4).select(F.col("id").cast("int").alias("shard")))
+        .withColumn("probe_rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.xxhash64("query_id", "shard"))))
+    )
+    r_rand = R.first_shard_recall(gt, assignment, rand_routes, 10, nq)
+    assert r_sample > r_rand  # 64 of 160 points sampled: far better than random
