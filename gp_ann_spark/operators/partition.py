@@ -176,7 +176,12 @@ def _lp_coarsen_level(edges: DataFrame, weights: DataFrame, cap: int, rounds: in
         gated = cand.withColumn("_cum", F.sum("w").over(w_cap)).withColumn(
             "label", F.when(F.col("_cum") <= cap, F.col("cand")).otherwise(F.col("label"))
         )
-        labels = swap_checkpoint(gated.select("id", "label", "w"), labels if _ > 0 else None)
+        # checkpoint INTERMEDIATE rounds (they are read twice by the next
+        # round's joins); leave the final round lazy — the caller
+        # materializes the level output itself, so an eager checkpoint here
+        # would be a duplicate job per level
+        nxt = gated.select("id", "label", "w")
+        labels = nxt if _ == rounds - 1 else swap_checkpoint(nxt, labels if _ > 0 else None)
     return labels.select("id", "label")
 
 
@@ -199,11 +204,18 @@ def coarsen_graph(
         if n <= target:
             break
         cap = max(int(total_w / max(target // 4, 1)), 2)
-        lab = _lp_coarsen_level(cur_edges, cur_w, cap)
-        n_new = lab.select("label").distinct().count()
+        lab = _lp_coarsen_level(cur_edges, cur_w, cap).localCheckpoint(eager=True)
+        # shrinkage count comes FREE from materializing the contracted
+        # weights (row count == distinct labels) — no separate distinct job
+        new_w = lab.join(cur_w, "id").groupBy(F.col("label").alias("id")).agg(
+            F.sum("w").alias("w")
+        ).localCheckpoint(eager=True)
+        n_new = new_w.count()
         if n_new >= n:  # no shrinkage → stop (guard ≙ knn_graph.h:120-131)
+            release_local_checkpoint(new_w)
+            release_local_checkpoint(lab)
             break
-        maps.append(lab.localCheckpoint(eager=True))
+        maps.append(lab)
         lmap_src = lab.select(F.col("id").alias("src"), F.col("label").alias("nsrc"))
         lmap_dst = lab.select(F.col("id").alias("dst"), F.col("label").alias("ndst"))
         cur_edges = swap_checkpoint(
@@ -213,10 +225,8 @@ def coarsen_graph(
             .agg(F.sum("weight").alias("weight")),
             cur_edges,
         )
-        cur_w = swap_checkpoint(
-            cur_w.join(lab, "id").groupBy(F.col("label").alias("id")).agg(F.sum("w").alias("w")),
-            cur_w,
-        )
+        release_local_checkpoint(cur_w)
+        cur_w = new_w
         n = n_new
     return maps, cur_edges, cur_w
 
@@ -330,20 +340,25 @@ def refine_partition(
         sizes = asn.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
         room = sizes.select(F.col("shard").alias("cand"), (F.lit(cap) - F.col("cnt")).cast("int").alias("cap"))
         w_cap = Window.partitionBy("cand").orderBy(F.col("gain").desc(), F.col("id").asc())
+        # materialize movers ONCE: the count action and the state swap would
+        # otherwise each evaluate the full window program
         movers = (
             best.join(F.broadcast(room), "cand")
             .withColumn("_fill", F.row_number().over(w_cap))
             .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
             .select("id", F.col("cand").alias("new_shard"))
+            .localCheckpoint(eager=True)
         )
         n_moved = movers.count()
+        if n_moved == 0:
+            release_local_checkpoint(movers)
+            break
         asn = swap_checkpoint(
             asn.join(movers, "id", "left")
             .select("id", F.coalesce(F.col("new_shard"), F.col("shard")).cast("int").alias("shard")),
             asn,
         )
-        if n_moved == 0:
-            break
+        release_local_checkpoint(movers)
     return asn
 
 

@@ -111,6 +111,17 @@ def test_overlapping_kmeans_partition(spark, rng):
     assert 0 < n_extra <= 30  # budget = 0.25 * 120
     assert cover.distinct().count() == cover.count()
     assert asn.exceptAll(cover).count() == 0
+    # the cap derives from requested_num_clusters, NOT the actual shard
+    # count (overlapping_partitioning.cpp:229-233 keeps the original k "so
+    # that it chooses the correct max cluster size"): a smaller requested k
+    # means a larger per-shard cap, so the cover can only grow
+    cover_k2 = P.overlapping_kmeans_partition(
+        pts, asn, cents, overlap=0.25, requested_num_clusters=2
+    )
+    assert cover_k2.count() >= cover.count()
+    cap_k2 = P.max_cluster_size(120, 2, 0.05)
+    mx = cover_k2.groupBy("shard").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= cap_k2
 
 
 def test_rebalancing_kmeans_partition_distinct_path(spark, rng):
