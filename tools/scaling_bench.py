@@ -13,7 +13,10 @@ the regime a real cluster operates in:
 2. **knn_queries**: broadcast top-k scoring of 4k queries against 120k
    points (BLAS-bound mapInPandas), queries/s;
 3. **pagerank**: 8 supersteps over a ~6M-edge synthetic graph
-   (join+agg shuffle-bound), edge-traversals/s.
+   (join+agg shuffle-bound), edge-traversals/s;
+4. **ann_probe**: sharded search with the sublinear in-shard IVF kernel
+   (build + probe inside cogrouped applyInPandas, the serving path),
+   queries/s.
 
 Usage:  python tools/scaling_bench.py            # run both levels + report
         python tools/scaling_bench.py --stage 8  # one level (subprocess)
@@ -57,6 +60,7 @@ def run_stage(cpus: int) -> dict[str, float]:
     from gp_ann_spark.corpus import generate_repos, repos_to_points
     from gp_ann_spark.operators import graph as G
     from gp_ann_spark.operators import knn as KNN
+    from gp_ann_spark.operators import search as SRCH
     from gp_ann_spark.session import get_spark
 
     # FIXED partition count across levels (4×max level): with
@@ -111,6 +115,26 @@ def run_stage(cpus: int) -> dict[str, float]:
     n_edges = edges.count()
     out["pagerank_sec"] = timed_min(lambda: G.pagerank(edges, tol=0.0, max_iter=PR_ITERS).count())
     out["pagerank_edge_traversals_per_s"] = n_edges * PR_ITERS / out["pagerank_sec"]
+
+    # 4. sharded ANN probe with the sublinear IVF kernel (serving path):
+    # 16 shards, 2 probes per query — per-task index build + query, all
+    # inside one cogrouped applyInPandas per shard
+    asn = pts.select("id", F.pmod("id", F.lit(16)).cast("int").alias("shard"))
+    qs2 = synthetic_points(spark, N_QUERIES, seed=123).select(F.col("id").alias("query_id"), "vec")
+    routes = (
+        qs2.select("query_id", F.pmod(F.xxhash64("query_id", F.lit(1)), F.lit(16)).cast("int").alias("shard"))
+        .withColumn("probe_rank", F.lit(1))
+        .unionByName(
+            qs2.select("query_id", F.pmod(F.xxhash64("query_id", F.lit(2)), F.lit(16)).cast("int").alias("shard"))
+            .withColumn("probe_rank", F.lit(2))
+        )
+    )
+    sp = SRCH.shard_points(pts, asn).cache()
+    sp.count()
+    out["ann_probe_sec"] = timed_min(
+        lambda: SRCH.probe_shards(sp, qs2, routes, k=10, in_shard="ivf", ef=200).count()
+    )
+    out["ann_probe_queries_per_s"] = N_QUERIES / out["ann_probe_sec"]
     out["n_points"] = n_pts
     out["n_edges"] = n_edges
     spark.stop()
@@ -135,7 +159,7 @@ def main() -> None:
     lo, hi = LEVELS
     factor = hi // lo
     report = {"levels": results, "efficiency": {}, "factor": factor}
-    for metric in ("featurize_sec", "knn_sec", "pagerank_sec"):
+    for metric in ("featurize_sec", "knn_sec", "pagerank_sec", "ann_probe_sec"):
         t_lo, t_hi = results[lo][metric], results[hi][metric]
         report["efficiency"][metric.replace("_sec", "")] = round(t_lo / (factor * t_hi), 3)
     print(json.dumps(report, indent=2))
