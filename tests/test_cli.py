@@ -72,3 +72,38 @@ def test_cli_convert_roundtrip(spark, pts_file, tmp_path, capsys):
 
     again = IO.read_points_bin(spark, back)
     assert again.count() == 90
+
+
+def test_cli_query_attribution_binary_gt(spark, pts_file, tmp_path, capsys):
+    """query-attribution with a REFERENCE-FORMAT binary GT file: first run
+    computes + writes the .bin (ids-then-dists, points_io.cpp:163-179);
+    second run consumes it through the validation/repair pass."""
+    part = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, part, "3", "KMeans", "default"], spark=spark)
+    part_file = f"{part}.k=3.KMeans.parquet"
+    gt_file = str(tmp_path / "gt.bin")
+    out = str(tmp_path / "sweep_out")
+    CLI.main(
+        ["query-attribution", pts_file, pts_file, gt_file, "5", part_file, out, "3"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    import os
+    import struct
+
+    assert os.path.isfile(gt_file)
+    with open(gt_file, "rb") as f:
+        nq, k = struct.unpack("<II", f.read(8))
+    assert (nq, k) == (90, 5)
+    # second invocation READS the binary GT and validates it clean
+    CLI.main(
+        ["query-attribution", pts_file, pts_file, gt_file, "5", part_file, out, "3"],
+        spark=spark,
+    )
+    printed = capsys.readouterr().out
+    assert "gt validation:" in printed
+    # f32 storage → recomputed f64 distances differ at the 1e-8 counter
+    # (expected; the reference's ε-sweep exists for exactly this), but the
+    # lists must be sound: no unknown ids, sorted after repair
+    assert '"missing_neighbors": 0' in printed
+    assert '"wrong_sorts_after": 0' in printed
