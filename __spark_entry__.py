@@ -552,6 +552,9 @@ def q_approx_knn_quality(spark, sf_dir):
     )
 
 
+_ANN_GATE_NQ = 50  # query cap shared by q_ann_shard_invariants and its oracle
+
+
 def q_ann_shard_invariants(spark, sf_dir):
     """Sublinear in-shard ANN kernel gate (≙ InvertedIndexHNSW,
     inverted_index_hnsw.h:10-78, ef sweep shard_searches.cpp:13): (a) at
@@ -563,7 +566,7 @@ def q_ann_shard_invariants(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).localCheckpoint(eager=True)
     cells = emb.select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
-    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(50).localCheckpoint(eager=True)
+    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(_ANN_GATE_NQ).localCheckpoint(eager=True)
     n_shards = cells.agg(F.max("shard")).collect()[0][0] + 1
     shards = F.broadcast(spark.createDataFrame([(int(s),) for s in range(n_shards)], "shard int"))
     routes = qs.select("query_id").crossJoin(shards).withColumn(
@@ -998,8 +1001,10 @@ def oracle_sql() -> dict[str, str]:
             "true AS one_row_per_hash, true AS edges_match_rebuild "
             "FROM documents WHERE doc_id < 60"
         ),
+        # constants interpolated from the SAME K / query cap the Spark side
+        # uses, so a change to either cannot silently desynchronize the gate
         "ann_shard_invariants": (
-            "SELECT least(50, count(*)) * 10 AS n_exact_hits, "
+            f"SELECT least({_ANN_GATE_NQ}, count(*)) * least({K}, count(*)) AS n_exact_hits, "
             "true AS exact_at_full_budget, true AS recall_monotone_in_ef, "
             "true AS recall_floor_ef200 FROM embeddings"
         ),

@@ -207,6 +207,14 @@ def write_ground_truth_bin(gt: DataFrame, path: str) -> None:
     k = int(pdf["rank"].max()) if len(pdf) else 0
     if len(pdf) != nq * k:
         raise ValueError(f"ragged GT: {len(pdf)} rows != {nq} queries x {k} ranks")
+    # the binary layout is POSITIONAL: read-back reconstructs query_id as
+    # 0..nq-1, so non-dense ids would be silently remapped — refuse loudly
+    if nq and (int(pdf["query_id"].min()) != 0 or int(pdf["query_id"].max()) != nq - 1):
+        raise ValueError(
+            f"binary GT requires dense query ids 0..{nq - 1}, got "
+            f"[{pdf['query_id'].min()}, {pdf['query_id'].max()}] — renumber "
+            "queries before writing (the layout is positional, points_io.cpp:136-160)"
+        )
     with open(path, "wb") as f:
         f.write(struct.pack("<II", nq, k))
         pdf["neighbor_id"].to_numpy().astype("<u4").tofile(f)

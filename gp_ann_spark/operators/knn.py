@@ -216,25 +216,36 @@ def incremental_knn_update(
 
 def incremental_knn_delta(
     existing_pts: DataFrame,
-    edges: DataFrame,
+    edges: DataFrame | None,
     new_pts: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    thresholds: DataFrame | None = None,
 ) -> DataFrame:
     """The candidate-pair delta of ``incremental_knn_update``: forward top-k
     rows for the new batch ∪ reverse below-threshold rows for affected
     existing points — WITHOUT the final merge. The srcs appearing here are
     exactly the points whose adjacency can change, which is what lets the
     streaming sink rewrite only the buckets containing them
-    (streaming/ingest.py)."""
+    (streaming/ingest.py).
+
+    ``thresholds``: optional pre-maintained ``(src, deg, kth)`` sidecar.
+    When given, the O(n·k)-row aggregate over the full edge table is
+    skipped — at 10^12 edges that aggregate is the only table-sized read in
+    the delta, so a sidecar (n rows, maintained incrementally by the
+    streaming sink) makes the whole delta O(n_points + batch)."""
     spark = existing_pts.sparkSession
     all_pts = existing_pts.select("id", "vec").unionByName(new_pts.select("id", "vec"))
     fwd = knn_edges_for_queries(all_pts, new_pts.select(F.col("id").alias("query_id"), "vec"), k, metric)
 
-    # per-existing-point kth threshold from the current edge table
-    deg_thresh = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
-    )
+    # per-existing-point kth threshold: sidecar if provided, else aggregate
+    # the current edge table
+    if thresholds is not None:
+        deg_thresh = thresholds.select("src", "deg", "kth")
+    else:
+        deg_thresh = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
+        )
     with_thresh = existing_pts.join(deg_thresh, existing_pts.id == deg_thresh.src, "left").select(
         "id", "vec",
         F.when(F.col("deg") >= k, F.col("kth")).otherwise(F.lit(float("inf"))).alias("thresh"),

@@ -13,7 +13,13 @@ repo snapshots arrive continuously. Spark-first shape:
   (broadcast the new batch twice — forward top-k + reverse threshold pass)
   so the edge table stays EXACT without ever recomputing old×old pairs;
 - exactly-once across restarts comes from the checkpointLocation +
-  idempotent-by-construction sinks (dedup by content hash);
+  idempotent-by-construction sinks (dedup by content hash). Crash-replay
+  analysis: ids are allocated as max(meta, committed row count), so a crash
+  between the points append and the meta write cannot re-issue committed
+  ids; a crash between the edge write and the points append leaves edge
+  rows naming not-yet-committed ids, but the replayed batch re-derives the
+  SAME ids (same content order, same offset — the points never landed) and
+  rewrites the same buckets, so the sink converges to the exact state;
 - ``trigger(availableNow=True)`` drains the backlog and stops — the batch
   API and the streaming API are the same engine, so tests drive real
   streaming queries deterministically.
@@ -47,19 +53,41 @@ def _sink_exists(path: str) -> bool:
 
 
 def _read_next_id(spark: SparkSession, points_dir: str) -> int:
-    """Next dense id from the one-row metadata sink — NOT a max(id) scan of
-    the full points table (at 10^12 rows that scan is a per-batch full-table
-    read). Falls back to the scan once when migrating a pre-metadata sink."""
+    """Next dense id: max(metadata sink, committed row count).
+
+    Ids are dense 0..n-1 by construction, so the sink's row count IS the
+    correct next id — and ``count(*)`` on parquet reads no columns (footer
+    row-group counts), unlike a ``max(id)`` scan. The max() with the count
+    repairs a stale metadata row after a crash between the points append
+    and the meta write: the replayed batch dedups to a no-op but a LATER
+    fresh batch would otherwise re-assign already-committed ids."""
     meta_dir = points_dir + "_meta"
+    meta = 0
     if _sink_exists(meta_dir):
-        return int(spark.read.parquet(meta_dir).collect()[0]["next_id"])
-    return int(spark.read.parquet(points_dir).agg(F.max("id")).collect()[0][0]) + 1
+        meta = int(spark.read.parquet(meta_dir).collect()[0]["next_id"])
+    committed = spark.read.parquet(points_dir).count()
+    return max(meta, int(committed))
 
 
 def _write_next_id(spark: SparkSession, points_dir: str, next_id: int) -> None:
     spark.createDataFrame([(int(next_id),)], "next_id long").coalesce(1).write.mode(
         "overwrite"
     ).parquet(points_dir + "_meta")
+
+
+def _write_thresholds(spark: SparkSession, thresh_dir: str, bucket_edges) -> None:
+    """Refresh the (src, deg, kth) sidecar for exactly the buckets present
+    in ``bucket_edges`` (a bucket-columned edge frame) — dynamic partition
+    overwrite, so untouched sidecar buckets stay byte-identical like the
+    edge sink's."""
+    (
+        bucket_edges.groupBy("bucket", "src")
+        .agg(F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(thresh_dir)
+    )
 
 
 def ingest_stream(
@@ -117,35 +145,54 @@ def ingest_stream(
             with_ids.select("id", "sha256"), "id"
         ).localCheckpoint(eager=True)
         # 4. maintain the EXACT edge table incrementally, rewriting only the
-        #    src-buckets that contain changed rows
+        #    src-buckets that contain changed rows. The (src, deg, kth)
+        #    threshold sidecar (bucket-partitioned like the edges) replaces
+        #    the O(n·k)-row full-edge-table aggregate in the delta — the one
+        #    remaining table-sized read — so a batch touches O(n_points)
+        #    narrow rows + O(changed buckets) edge rows, never O(edges).
+        thresh_dir = edges_dir + "_thresh"
         if existing is not None and _sink_exists(edges_dir):
-            edges = spark.read.parquet(edges_dir).select("src", "dst", "weight")
+            edges_full = spark.read.parquet(edges_dir)
+            if _sink_exists(thresh_dir):
+                thresholds = spark.read.parquet(thresh_dir).select("src", "deg", "kth")
+            else:  # one-time migration of a pre-sidecar sink
+                thresholds = edges_full.groupBy("src").agg(
+                    F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
+                )
             delta = incremental_knn_delta(
-                existing.select("id", "vec"), edges, new_pts.select("id", "vec"), k=k, metric=metric
+                existing.select("id", "vec"), None, new_pts.select("id", "vec"),
+                k=k, metric=metric, thresholds=thresholds,
             ).localCheckpoint(eager=True)
             changed = [
                 int(r["b"]) for r in delta.select(bucket.alias("b")).distinct().collect()
             ]
             if changed:
-                old_changed = edges.where(bucket.isin(changed))
+                # filter on the PARTITION column so the scan prunes to the
+                # changed bucket directories (a pmod(src,..) predicate does
+                # not map to partition pruning)
+                old_changed = edges_full.where(F.col("bucket").isin(changed)).select(
+                    "src", "dst", "weight"
+                )
                 updated = merge_topk(old_changed.unionByName(delta), k).withColumn("bucket", bucket)
                 # stage, then dynamic-overwrite ONLY the changed bucket dirs
                 # (can't read+overwrite the same path in one job); both
                 # writes are O(changed buckets), not O(table)
                 staging = edges_dir + "_staging"
                 updated.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-                spark.read.parquet(staging).write.mode("overwrite").option(
+                staged = spark.read.parquet(staging)
+                staged.write.mode("overwrite").option(
                     "partitionOverwriteMode", "dynamic"
                 ).partitionBy("bucket").parquet(edges_dir)
+                _write_thresholds(spark, thresh_dir, staged)
         else:
             all_pts = new_pts.select("id", "vec")
             if existing is not None:
                 all_pts = all_pts.unionByName(existing.select("id", "vec"))
             n_all = all_pts.count()
             if n_all > 1:
-                knn_edges(all_pts, k=min(k, n_all - 1), metric=metric).withColumn(
-                    "bucket", bucket
-                ).write.mode("overwrite").partitionBy("bucket").parquet(edges_dir)
+                full = knn_edges(all_pts, k=min(k, n_all - 1), metric=metric).withColumn("bucket", bucket)
+                full.write.mode("overwrite").partitionBy("bucket").parquet(edges_dir)
+                _write_thresholds(spark, thresh_dir, spark.read.parquet(edges_dir))
         new_pts.write.mode("append").parquet(points_dir)
         _write_next_id(spark, points_dir, offset + n_new)
 

@@ -171,3 +171,34 @@ def test_ingest_stream_rewrites_only_changed_buckets(spark, tmp_path):
     # and the maintained table still equals the offline rebuild
     rebuilt = KNN.knn_edges(spark.read.parquet(points_dir).select("id", "vec"), k=3)
     assert _edge_set(spark.read.parquet(edges_dir).select("src", "dst", "weight")) == _edge_set(rebuilt)
+
+
+def test_ingest_stream_survives_stale_meta(spark, tmp_path):
+    """Crash-window simulation: points appended but the metadata sink never
+    updated (crash between the two writes). The count-repair in
+    _read_next_id must prevent a later batch from re-issuing committed
+    ids."""
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    docs = [f"crash doc {i} unique words {i*13%7}" for i in range(12)]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    # simulate the stale meta: roll next_id back as if the last batch's
+    # meta write never happened
+    spark.createDataFrame([(3,)], "next_id long").coalesce(1).write.mode("overwrite").parquet(
+        points_dir + "_meta"
+    )
+    spark.createDataFrame(
+        [("rZ", "fZ.txt", "c0", "py", "a fresh post-crash document")], schema
+    ).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    pts = spark.read.parquet(points_dir)
+    ids = [r["id"] for r in pts.select("id").collect()]
+    assert len(ids) == len(set(ids)) == 13  # no duplicate ids issued
+    assert sorted(ids) == list(range(13))  # still dense
+    rebuilt = KNN.knn_edges(pts.select("id", "vec"), k=3)
+    assert _edge_set(spark.read.parquet(edges_dir).select("src", "dst", "weight")) == _edge_set(rebuilt)

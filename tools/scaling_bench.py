@@ -121,13 +121,13 @@ def run_stage(cpus: int) -> dict[str, float]:
     # inside one cogrouped applyInPandas per shard
     asn = pts.select("id", F.pmod("id", F.lit(16)).cast("int").alias("shard"))
     qs2 = synthetic_points(spark, N_QUERIES, seed=123).select(F.col("id").alias("query_id"), "vec")
+    # second probe = first + 1 + hash%15 (mod 16): always a DISTINCT shard,
+    # so every query measures exactly 2 probes with no duplicate in-task work
+    p1 = F.pmod(F.xxhash64("query_id", F.lit(1)), F.lit(16)).cast("int")
+    p2 = F.pmod(p1 + 1 + F.pmod(F.xxhash64("query_id", F.lit(2)), F.lit(15)), F.lit(16)).cast("int")
     routes = (
-        qs2.select("query_id", F.pmod(F.xxhash64("query_id", F.lit(1)), F.lit(16)).cast("int").alias("shard"))
-        .withColumn("probe_rank", F.lit(1))
-        .unionByName(
-            qs2.select("query_id", F.pmod(F.xxhash64("query_id", F.lit(2)), F.lit(16)).cast("int").alias("shard"))
-            .withColumn("probe_rank", F.lit(2))
-        )
+        qs2.select("query_id", p1.alias("shard")).withColumn("probe_rank", F.lit(1))
+        .unionByName(qs2.select("query_id", p2.alias("shard")).withColumn("probe_rank", F.lit(2)))
     )
     sp = SRCH.shard_points(pts, asn).cache()
     sp.count()
