@@ -31,26 +31,41 @@ from gp_ann_spark.functions.distances import distance_matrix, pairwise_sqr_l2
 EF_SWEEP = (50, 80, 100, 150, 200, 250, 300, 400, 500)
 
 
+def _blocked_argmin(X: np.ndarray, C: np.ndarray, budget_bytes: int = 64 << 20) -> np.ndarray:
+    """argmin over pairwise_sqr_l2(X, C) without materializing the full
+    n×c matrix — blocks of X sized so each block×c float64 matrix stays
+    ≤ ``budget_bytes`` (an unblocked n×c at a 25M-point shard with √n cells
+    would be ~1 TB)."""
+    c = len(C)
+    block = max(1, budget_bytes // (8 * max(c, 1)))
+    out = np.empty(len(X), dtype=np.int64)
+    for lo in range(0, len(X), block):
+        out[lo : lo + block] = pairwise_sqr_l2(X[lo : lo + block], C).argmin(1)
+    return out
+
+
 def build_ivf(X: np.ndarray, seed: int, n_cells: int | None = None, n_iter: int = 3):
     """Cluster the shard's points into ``n_cells`` (default ⌈√n⌉) cells.
 
     Returns ``(C, order, starts, ends)``: cell centroids, point indices
     CSR-packed by cell (``order[starts[c]:ends[c]]`` = members of cell c).
-    Seeded sampling ≙ the reference's per-shard random_seed 555+b.
+    Seeded sampling ≙ the reference's per-shard random_seed 555+b. All
+    assignments are block-bounded (~64 MB per distance block) so the build
+    holds at 10⁷-point shards.
     """
     n = len(X)
     c = min(n, n_cells or max(1, int(np.ceil(np.sqrt(n)))))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(n, size=c, replace=False)].astype(np.float64).copy()
     for _ in range(n_iter):
-        a = pairwise_sqr_l2(X, C).argmin(1)
+        a = _blocked_argmin(X, C)
         # vectorized mean update: sum per cell / count per cell
         counts = np.bincount(a, minlength=c).astype(np.float64)
         sums = np.zeros_like(C)
         np.add.at(sums, a, X)
         nonempty = counts > 0
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
-    a = pairwise_sqr_l2(X, C).argmin(1)
+    a = _blocked_argmin(X, C)
     order = np.argsort(a, kind="stable")
     sorted_a = a[order]
     starts = np.searchsorted(sorted_a, np.arange(c))
@@ -74,8 +89,13 @@ def ivf_search(
     """
     C, order, starts, ends = index
     sizes = ends - starts
-    d_qc = distance_matrix(Q, C, metric)
-    cell_rank = np.argsort(d_qc, axis=1, kind="stable")
+    # block the query×cell matrix too: a task can hold 100k+ probing
+    # queries and c = √n cells
+    q_block = max(1, (64 << 20) // (8 * max(len(C), 1)))
+    cell_rank = np.empty((len(Q), len(C)), dtype=np.int64)
+    for lo in range(0, len(Q), q_block):
+        d_qc = distance_matrix(Q[lo : lo + q_block], C, metric)
+        cell_rank[lo : lo + q_block] = np.argsort(d_qc, axis=1, kind="stable")
     out_idx = []
     out_dist = []
     for qi in range(len(Q)):
