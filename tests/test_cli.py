@@ -107,3 +107,38 @@ def test_cli_query_attribution_binary_gt(spark, pts_file, tmp_path, capsys):
     # lists must be sound: no unknown ids, sorted after repair
     assert '"missing_neighbors": 0' in printed
     assert '"wrong_sorts_after": 0' in printed
+
+
+def test_experiments_driver_smoke(spark, pts_file, tmp_path, capsys):
+    """Parity driver (reference experiments.py:57-113): partition + query
+    attribution across a (dataset x method x shards x overlap) grid via the
+    same CLI a reference user would call."""
+    import experiments as EXP
+    import os
+
+    out = str(tmp_path / "exp_outputs")
+    rc = EXP.main(
+        [
+            "--data-path", os.path.dirname(pts_file),
+            "--dataset", f"toy={os.path.basename(pts_file)}:L2",
+            "--methods", "KMeans,OKM",
+            "--shards", "3",
+            "--overlaps", "0.2",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    # partition artifacts in the reference's naming scheme
+    assert os.path.exists(f"{out}/toy.partition.k=3.KMeans.parquet")
+    assert os.path.exists(f"{out}/toy.partition.k=3.OKM.o=0.2.clusters")
+    # GT written once in the reference's binary interchange format
+    import struct
+
+    with open(f"{out}/toy_ground-truth.bin", "rb") as f:
+        nq, k = struct.unpack("<II", f.read(8))
+    assert (nq, k) == (90, 10)
+    # per-config sweep outputs
+    assert os.path.isdir(f"{out}/toy.KMeans.k=3")
+    assert os.path.isdir(f"{out}/toy.OKM.k=3.o=0.2")
