@@ -194,9 +194,18 @@ def simulate_qps(
     work = {int(r["shard"]): float(r["work"]) for r in agg}
     if not work:
         return {"qps": 0.0, "hosts": 0, "max_host_load": 0.0}
-    s = len(work)
-    hosts_n = num_hosts or (s + extra_hosts)
-    # greedy replica assignment: repeatedly split the heaviest load
+    hosts_n = num_hosts or (len(work) + extra_hosts)
+    qps = _replica_qps(work, n_queries, routing_time_s, num_hosts, extra_hosts)
+    max_load = n_queries / qps - routing_time_s / hosts_n if qps not in (0.0, float("inf")) else 0.0
+    return {"qps": qps, "hosts": hosts_n, "max_host_load": max_load}
+
+
+def _replica_qps(work: dict[int, float], n_queries: int, routing_time_s: float, num_hosts, extra_hosts) -> float:
+    """Driver-side replica model shared by simulate_qps and the batched
+    grid (route_search_combination.cpp:149-183)."""
+    if not work:
+        return 0.0
+    hosts_n = num_hosts or (len(work) + extra_hosts)
     loads = sorted(work.values(), reverse=True)
     replicas = {i: 1 for i in range(len(loads))}
     budget = hosts_n - len(loads)
@@ -206,8 +215,8 @@ def simulate_qps(
         replicas[i] += 1
         budget -= 1
     max_load = max(loads[i] / replicas[i] for i in range(len(loads)))
-    qps = n_queries / (max_load + routing_time_s / hosts_n) if (max_load + routing_time_s) > 0 else float("inf")
-    return {"qps": qps, "hosts": hosts_n, "max_host_load": max_load}
+    denom = max_load + routing_time_s / hosts_n
+    return n_queries / denom if denom > 0 else float("inf")
 
 
 def recall_qps_grid(
@@ -218,23 +227,36 @@ def recall_qps_grid(
     nprobes_values: Iterable[int],
 ) -> pd.DataFrame:
     """(nprobes, recall, qps) grid + Pareto flag (≙ the combination sweep,
-    route_search_combination.cpp:121-226). Small output → pandas."""
+    route_search_combination.cpp:121-226). Small output → pandas.
+
+    TWO Spark aggregations for the whole grid, not O(|nprobes|) jobs: the
+    recall curve comes from the histogram of each true hit's FIRST probe
+    rank (cumsum gives found@p for every p), and the QPS model from one
+    (shard, probe_rank) work table cumsum'd driver-side. Also two fewer
+    passes over shard_results at scale."""
+    # recall: first probe rank at which each (query, true-neighbor) is found
+    first_hit = (
+        shard_results.select("query_id", "probe_rank", F.explode("neighbors").alias("neighbor_id"))
+        .join(gt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("probe_rank").alias("first_rank"))
+        .groupBy("first_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    hist = dict(zip(first_hit["first_rank"], first_hit["n"]))
+    # qps: per-(shard, probe_rank) work once; cumulative per shard in pandas
+    work_pdf = (
+        shard_results.groupBy("shard", "probe_rank")
+        .agg(F.sum("time_s").alias("work"))
+        .toPandas()
+    )
     rows = []
-    exploded = shard_results.select(
-        "query_id", "probe_rank", F.explode("neighbors").alias("neighbor_id")
-    ).localCheckpoint(eager=True)
-    gt_pairs = gt.select("query_id", "neighbor_id").localCheckpoint(eager=True)
     for p in nprobes_values:
-        found = (
-            exploded.where(F.col("probe_rank") <= p)
-            .join(gt_pairs, ["query_id", "neighbor_id"], "left_semi")
-            .select("query_id", "neighbor_id")
-            .distinct()
-            .count()
-        )
-        recall = found / (n_queries * k)
-        qps = simulate_qps(shard_results, p, n_queries)["qps"]
-        rows.append({"nprobes": p, "recall": recall, "qps": qps})
+        found = sum(n for r, n in hist.items() if r <= p)
+        w = work_pdf[work_pdf["probe_rank"] <= p].groupby("shard")["work"].sum()
+        qps = _replica_qps({int(s): float(v) for s, v in w.items()}, n_queries, 0.0, None, 20)
+        rows.append({"nprobes": p, "recall": found / (n_queries * k), "qps": qps})
     df = pd.DataFrame(rows)
     # Pareto: not dominated in (recall, qps)
     df["pareto"] = [
