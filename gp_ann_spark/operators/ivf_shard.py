@@ -89,26 +89,27 @@ def ivf_search(
     """
     C, order, starts, ends = index
     sizes = ends - starts
-    # block the query×cell matrix too: a task can hold 100k+ probing
-    # queries and c = √n cells
+    # process query blocks END-TO-END (rank + probe inside the block loop):
+    # only one block×cells matrix is ever resident, so memory stays ~64 MB
+    # regardless of how many queries probe this shard in one task
     q_block = max(1, (64 << 20) // (8 * max(len(C), 1)))
-    cell_rank = np.empty((len(Q), len(C)), dtype=np.int64)
-    for lo in range(0, len(Q), q_block):
-        d_qc = distance_matrix(Q[lo : lo + q_block], C, metric)
-        cell_rank[lo : lo + q_block] = np.argsort(d_qc, axis=1, kind="stable")
     out_idx = []
     out_dist = []
-    for qi in range(len(Q)):
-        co = cell_rank[qi]
-        csum = np.cumsum(sizes[co])
-        # probe cells until the budget is covered (≥ ef candidates seen)
-        n_cells_q = min(len(co), int(np.searchsorted(csum, ef) + 1))
-        cand = np.concatenate([order[starts[cc] : ends[cc]] for cc in co[:n_cells_q]])
-        d = distance_matrix(Q[qi : qi + 1], X[cand], metric)[0]
-        kk = min(k, len(cand))
-        part = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
-        # stable sort by (dist, original position) like the exact kernel
-        srt = np.lexsort((cand[part], d[part]))
-        out_idx.append(cand[part][srt])
-        out_dist.append(d[part][srt])
+    for lo in range(0, len(Q), q_block):
+        d_qc = distance_matrix(Q[lo : lo + q_block], C, metric)
+        cell_rank = np.argsort(d_qc, axis=1, kind="stable")
+        for bi in range(len(cell_rank)):
+            qi = lo + bi
+            co = cell_rank[bi]
+            csum = np.cumsum(sizes[co])
+            # probe cells until the budget is covered (≥ ef candidates seen)
+            n_cells_q = min(len(co), int(np.searchsorted(csum, ef) + 1))
+            cand = np.concatenate([order[starts[cc] : ends[cc]] for cc in co[:n_cells_q]])
+            d = distance_matrix(Q[qi : qi + 1], X[cand], metric)[0]
+            kk = min(k, len(cand))
+            part = np.argpartition(d, kk - 1)[:kk] if kk < len(d) else np.arange(len(d))
+            # stable sort by (dist, original position) like the exact kernel
+            srt = np.lexsort((cand[part], d[part]))
+            out_idx.append(cand[part][srt])
+            out_dist.append(d[part][srt])
     return out_idx, out_dist

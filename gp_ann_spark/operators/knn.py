@@ -214,6 +214,17 @@ def incremental_knn_update(
     return merge_topk(edges.unionByName(incremental_knn_delta(existing_pts, edges, new_pts, k, metric)), k)
 
 
+def deg_kth(edges: DataFrame, *extra_keys: str) -> DataFrame:
+    """Per-src degree and kth (=max) neighbor distance — the ONE definition
+    of the threshold aggregate. The streaming sidecar's correctness depends
+    on every producer/consumer agreeing on exactly this aggregate, so all
+    three sites (delta fallback, sidecar refresh, sidecar migration) call
+    here."""
+    return edges.groupBy(*extra_keys, "src").agg(
+        F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
+    )
+
+
 def incremental_knn_delta(
     existing_pts: DataFrame,
     edges: DataFrame | None,
@@ -243,9 +254,7 @@ def incremental_knn_delta(
     if thresholds is not None:
         deg_thresh = thresholds.select("src", "deg", "kth")
     else:
-        deg_thresh = edges.groupBy("src").agg(
-            F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
-        )
+        deg_thresh = deg_kth(edges)
     with_thresh = existing_pts.join(deg_thresh, existing_pts.id == deg_thresh.src, "left").select(
         "id", "vec",
         F.when(F.col("deg") >= k, F.col("kth")).otherwise(F.lit(float("inf"))).alias("thresh"),

@@ -195,16 +195,17 @@ def simulate_qps(
     if not work:
         return {"qps": 0.0, "hosts": 0, "max_host_load": 0.0}
     hosts_n = num_hosts or (len(work) + extra_hosts)
-    qps = _replica_qps(work, n_queries, routing_time_s, num_hosts, extra_hosts)
-    max_load = n_queries / qps - routing_time_s / hosts_n if qps not in (0.0, float("inf")) else 0.0
+    qps, max_load = _replica_qps(work, n_queries, routing_time_s, num_hosts, extra_hosts)
     return {"qps": qps, "hosts": hosts_n, "max_host_load": max_load}
 
 
-def _replica_qps(work: dict[int, float], n_queries: int, routing_time_s: float, num_hosts, extra_hosts) -> float:
+def _replica_qps(
+    work: dict[int, float], n_queries: int, routing_time_s: float, num_hosts, extra_hosts
+) -> tuple[float, float]:
     """Driver-side replica model shared by simulate_qps and the batched
-    grid (route_search_combination.cpp:149-183)."""
+    grid (route_search_combination.cpp:149-183). Returns (qps, max_load)."""
     if not work:
-        return 0.0
+        return 0.0, 0.0
     hosts_n = num_hosts or (len(work) + extra_hosts)
     loads = sorted(work.values(), reverse=True)
     replicas = {i: 1 for i in range(len(loads))}
@@ -216,7 +217,7 @@ def _replica_qps(work: dict[int, float], n_queries: int, routing_time_s: float, 
         budget -= 1
     max_load = max(loads[i] / replicas[i] for i in range(len(loads)))
     denom = max_load + routing_time_s / hosts_n
-    return n_queries / denom if denom > 0 else float("inf")
+    return (n_queries / denom if denom > 0 else float("inf")), max_load
 
 
 def recall_qps_grid(
@@ -255,7 +256,7 @@ def recall_qps_grid(
     for p in nprobes_values:
         found = sum(n for r, n in hist.items() if r <= p)
         w = work_pdf[work_pdf["probe_rank"] <= p].groupby("shard")["work"].sum()
-        qps = _replica_qps({int(s): float(v) for s, v in w.items()}, n_queries, 0.0, None, 20)
+        qps, _ = _replica_qps({int(s): float(v) for s, v in w.items()}, n_queries, 0.0, None, 20)
         rows.append({"nprobes": p, "recall": found / (n_queries * k), "qps": qps})
     df = pd.DataFrame(rows)
     # Pareto: not dominated in (recall, qps)

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gp_ann_spark.corpus.ingest import dense_ids, featurize
-from gp_ann_spark.operators.knn import incremental_knn_delta, knn_edges, merge_topk
+from gp_ann_spark.operators.knn import deg_kth, incremental_knn_delta, knn_edges, merge_topk
 
 REPO_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
@@ -52,21 +52,28 @@ def _sink_exists(path: str) -> bool:
     return False
 
 
-def _read_next_id(spark: SparkSession, points_dir: str) -> int:
-    """Next dense id: max(metadata sink, committed row count).
+def _inflight_marker(points_dir: str) -> str:
+    return points_dir + "_inflight"
 
-    Ids are dense 0..n-1 by construction, so the sink's row count IS the
-    correct next id — and ``count(*)`` on parquet reads no columns (footer
-    row-group counts), unlike a ``max(id)`` scan. The max() with the count
-    repairs a stale metadata row after a crash between the points append
-    and the meta write: the replayed batch dedups to a no-op but a LATER
-    fresh batch would otherwise re-assign already-committed ids."""
+
+def _read_next_id(spark: SparkSession, points_dir: str) -> int:
+    """Next dense id from the one-row metadata sink.
+
+    Reconciliation against the committed row count (ids are dense 0..n-1,
+    so the count IS the next id; ``count(*)`` reads only parquet footers)
+    runs ONLY when the in-flight marker from a crashed batch is present or
+    the meta sink is missing — the clean path is one metadata-row read, not
+    a per-batch listing of a 10^12-row sink. The reconcile repairs a stale
+    meta after a crash between the points append and the meta write, which
+    would otherwise let a later batch re-issue committed ids."""
     meta_dir = points_dir + "_meta"
-    meta = 0
+    meta = None
     if _sink_exists(meta_dir):
         meta = int(spark.read.parquet(meta_dir).collect()[0]["next_id"])
-    committed = spark.read.parquet(points_dir).count()
-    return max(meta, int(committed))
+    if meta is not None and not os.path.exists(_inflight_marker(points_dir)):
+        return meta
+    committed = int(spark.read.parquet(points_dir).count())
+    return max(meta or 0, committed)
 
 
 def _write_next_id(spark: SparkSession, points_dir: str, next_id: int) -> None:
@@ -79,15 +86,48 @@ def _write_thresholds(spark: SparkSession, thresh_dir: str, bucket_edges) -> Non
     """Refresh the (src, deg, kth) sidecar for exactly the buckets present
     in ``bucket_edges`` (a bucket-columned edge frame) — dynamic partition
     overwrite, so untouched sidecar buckets stay byte-identical like the
-    edge sink's."""
+    edge sink's. The aggregate is knn.deg_kth — the ONE definition shared
+    with the delta fallback, so sidecar and edge table cannot drift."""
     (
-        bucket_edges.groupBy("bucket", "src")
-        .agg(F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth"))
+        deg_kth(bucket_edges, "bucket")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(thresh_dir)
     )
+
+
+def _check_bucket_layout(spark: SparkSession, edges_dir: str, n_buckets: int) -> None:
+    """Refuse to incrementally update a sink written with a different
+    ``n_buckets``: the changed-bucket list is computed from pmod(src,
+    n_buckets) but old rows are selected by their STORED bucket value, so a
+    mismatch would silently drop/duplicate adjacency. The layout is pinned
+    in a one-row meta sink; pre-meta sinks get it stamped after a one-time
+    consistency scan."""
+    meta_dir = edges_dir + "_layout"
+    if _sink_exists(meta_dir):
+        stored = int(spark.read.parquet(meta_dir).collect()[0]["n_buckets"])
+        if stored != n_buckets:
+            raise ValueError(
+                f"edge sink {edges_dir} was written with n_buckets={stored}; "
+                f"reopening with n_buckets={n_buckets} would corrupt the "
+                "bucketed maintenance path — repartition the sink or pass "
+                f"n_buckets={stored}"
+            )
+        return
+    bad = (
+        spark.read.parquet(edges_dir)
+        .where(F.pmod(F.col("src"), F.lit(n_buckets)).cast("int") != F.col("bucket"))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"edge sink {edges_dir} bucket layout does not match n_buckets={n_buckets}"
+        )
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(meta_dir)
 
 
 def ingest_stream(
@@ -138,6 +178,11 @@ def ingest_stream(
         #    assignment — no single-partition window)
         offset = _read_next_id(spark, points_dir) if have_sink else 0
         existing = spark.read.parquet(points_dir) if have_sink else None
+        # in-flight marker: present ⇒ a batch may have crashed between its
+        # sink writes, so the next id read reconciles against the committed
+        # count instead of trusting the (possibly stale) metadata row
+        with open(_inflight_marker(points_dir), "w") as fh:
+            fh.write(str(offset))
         with_ids = dense_ids(batch_unique, order_col="sha256").withColumn(
             "id", F.col("id") + F.lit(offset)
         )
@@ -152,13 +197,18 @@ def ingest_stream(
         #    narrow rows + O(changed buckets) edge rows, never O(edges).
         thresh_dir = edges_dir + "_thresh"
         if existing is not None and _sink_exists(edges_dir):
+            _check_bucket_layout(spark, edges_dir, n_buckets)
             edges_full = spark.read.parquet(edges_dir)
-            if _sink_exists(thresh_dir):
-                thresholds = spark.read.parquet(thresh_dir).select("src", "deg", "kth")
-            else:  # one-time migration of a pre-sidecar sink
-                thresholds = edges_full.groupBy("src").agg(
-                    F.count(F.lit(1)).alias("deg"), F.max("weight").alias("kth")
-                )
+            if not _sink_exists(thresh_dir):
+                # one-time migration of a pre-sidecar sink: materialize the
+                # FULL sidecar now (every bucket). The per-batch refresh
+                # below rewrites only changed buckets, so an in-memory
+                # partial migration would leave every other src invisible
+                # (null → +inf threshold) on the NEXT batch.
+                deg_kth(edges_full, "bucket").write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(thresh_dir)
+            thresholds = spark.read.parquet(thresh_dir).select("src", "deg", "kth")
             delta = incremental_knn_delta(
                 existing.select("id", "vec"), None, new_pts.select("id", "vec"),
                 k=k, metric=metric, thresholds=thresholds,
@@ -193,8 +243,16 @@ def ingest_stream(
                 full = knn_edges(all_pts, k=min(k, n_all - 1), metric=metric).withColumn("bucket", bucket)
                 full.write.mode("overwrite").partitionBy("bucket").parquet(edges_dir)
                 _write_thresholds(spark, thresh_dir, spark.read.parquet(edges_dir))
+                spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+                    1
+                ).write.mode("overwrite").parquet(edges_dir + "_layout")
         new_pts.write.mode("append").parquet(points_dir)
         _write_next_id(spark, points_dir, offset + n_new)
+        # clean completion: the metadata row is authoritative again
+        try:
+            os.remove(_inflight_marker(points_dir))
+        except FileNotFoundError:
+            pass
 
     stream = spark.readStream.schema(REPO_SCHEMA).parquet(input_dir)
     q = (

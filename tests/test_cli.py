@@ -142,3 +142,21 @@ def test_experiments_driver_smoke(spark, pts_file, tmp_path, capsys):
     # per-config sweep outputs
     assert os.path.isdir(f"{out}/toy.KMeans.k=3")
     assert os.path.isdir(f"{out}/toy.OKM.k=3.o=0.2")
+
+
+def test_cli_mips_metric_env(spark, pts_file, tmp_path, capsys, monkeypatch):
+    """GP_ANN_METRIC=mips selects the inner-product distance family
+    (≙ compiling the reference's release_mips folder, experiments.py:52-55)."""
+    import os
+
+    monkeypatch.setenv("GP_ANN_METRIC", "mips")
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n"] == 90 and rep["imbalance"] <= 1.05 + 1e-9
+    assert os.path.exists(f"{out}.k=3.KMeans.parquet")
+    monkeypatch.setenv("GP_ANN_METRIC", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="GP_ANN_METRIC"):
+        CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)

@@ -187,11 +187,16 @@ def test_ingest_stream_survives_stale_meta(spark, tmp_path):
     docs = [f"crash doc {i} unique words {i*13%7}" for i in range(12)]
     spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
     ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
-    # simulate the stale meta: roll next_id back as if the last batch's
-    # meta write never happened
+    # simulate the crash state exactly: next_id rolled back as if the last
+    # batch's meta write never happened AND the in-flight marker still on
+    # disk (it is only removed after the meta write, so a crash in that
+    # window always leaves it — the marker is what triggers the
+    # count-reconcile instead of trusting the stale row)
     spark.createDataFrame([(3,)], "next_id long").coalesce(1).write.mode("overwrite").parquet(
         points_dir + "_meta"
     )
+    with open(points_dir + "_inflight", "w") as fh:
+        fh.write("3")
     spark.createDataFrame(
         [("rZ", "fZ.txt", "c0", "py", "a fresh post-crash document")], schema
     ).write.mode("append").parquet(input_dir)
@@ -202,3 +207,24 @@ def test_ingest_stream_survives_stale_meta(spark, tmp_path):
     assert sorted(ids) == list(range(13))  # still dense
     rebuilt = KNN.knn_edges(pts.select("id", "vec"), k=3)
     assert _edge_set(spark.read.parquet(edges_dir).select("src", "dst", "weight")) == _edge_set(rebuilt)
+
+
+def test_ingest_stream_refuses_bucket_layout_change(spark, tmp_path):
+    """Reopening a bucketed edge sink with a different n_buckets must fail
+    loudly — the changed-bucket list and the stored partition values would
+    disagree and silently corrupt adjacency."""
+    import pytest
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = [f"layout doc {i}" for i in range(8)]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    spark.createDataFrame(
+        [("rN", "fN.txt", "c0", "py", "another doc for the next drain")], schema
+    ).write.mode("append").parquet(input_dir)
+    with pytest.raises(Exception, match="n_buckets"):
+        ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=8)

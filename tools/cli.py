@@ -45,6 +45,17 @@ from gp_ann_spark.operators import sweep as SW  # noqa: E402
 EPS = 0.05  # the reference's fixed epsilon (partition.cpp:88)
 
 
+def _metric() -> str:
+    """The distance metric, ≙ the reference's compile-time choice of the
+    release_l2 / release_mips build folder (experiments.py:52-55): selected
+    by the GP_ANN_METRIC env var (l2 | mips), read per call so one process
+    can drive datasets with different metrics."""
+    m = os.environ.get("GP_ANN_METRIC", "l2").lower()
+    if m not in ("l2", "mips"):
+        raise SystemExit(f"GP_ANN_METRIC must be l2 or mips, got {m!r}")
+    return m
+
+
 def _load_points(spark, path):
     if path.endswith(".parquet") or os.path.isdir(path):
         df = spark.read.parquet(path)
@@ -61,7 +72,7 @@ def _knn_edges_auto(pts, k=10):
     partitioning.cpp:251-264)."""
     n = pts.count()
     return KNN.symmetrize(
-        KA.build_knn_graph(pts, k=k, max_cluster_size=min(5000, max(200, n // 4)),
+        KA.build_knn_graph(pts, k=k, metric=_metric(), max_cluster_size=min(5000, max(200, n // 4)),
                            top_level_leaders=min(950, max(8, n // 100)))
     )
 
@@ -83,17 +94,17 @@ def cmd_partition(spark, args):
     elif method == "GP":
         asn = P.graph_partition(_knn_edges_auto(pts), k, eps=EPS)
     elif method == "Pyramid":
-        asn, _ = H.pyramid_partition(pts, k, eps=EPS)
+        asn, _ = H.pyramid_partition(pts, k, eps=EPS, metric=_metric())
     elif method == "KMeans":
-        asn = P.kmeans_partition(pts, k, eps=EPS)
+        asn = P.kmeans_partition(pts, k, eps=EPS, metric=_metric())
     elif method == "BalancedKMeans":
-        _, asn = KM.balanced_kmeans_bkm(pts, k, cap)
+        _, asn = KM.balanced_kmeans_bkm(pts, k, cap, metric=_metric())
     elif method == "FlatKMeans":
-        _, asn = KM.lloyd(pts, k)
+        _, asn = KM.lloyd(pts, k, metric=_metric())
     elif method == "RKM":
-        asn = P.rebalancing_kmeans_partition(pts, k, eps=EPS)
+        asn = P.rebalancing_kmeans_partition(pts, k, eps=EPS, metric=_metric())
     elif method == "OurPyramid":
-        asn, _ = H.our_pyramid_partition(pts, k, eps=EPS)
+        asn, _ = H.our_pyramid_partition(pts, k, eps=EPS, metric=_metric())
     elif method == "OGP":
         edges = _knn_edges_auto(pts).localCheckpoint(eager=True)
         k_adj = -(-int((1 + overlap) * n) // cap)  # inflated cluster count (:56)
@@ -103,11 +114,11 @@ def cmd_partition(spark, args):
         # ceil(k*(1+o)) like the reference's std::ceil (partition.cpp ORKM/OBKM)
         k_adj = -(-int(n + overlap * n) // cap) if method == "OGPS" else math.ceil(k * (1 + overlap))
         if method == "OKM":
-            base = P.kmeans_partition(pts, k, eps=EPS)
+            base = P.kmeans_partition(pts, k, eps=EPS, metric=_metric())
         elif method == "ORKM":
-            base = P.rebalancing_kmeans_partition(pts, k_adj, eps=EPS)
+            base = P.rebalancing_kmeans_partition(pts, k_adj, eps=EPS, metric=_metric())
         elif method == "OBKM":
-            _, base = KM.balanced_kmeans_bkm(pts, k_adj, cap)
+            _, base = KM.balanced_kmeans_bkm(pts, k_adj, cap, metric=_metric())
         else:  # OGPS
             base = P.graph_partition(_knn_edges_auto(pts), k_adj, eps=EPS)
         cents = RT.shard_centroids(pts, base)
@@ -118,7 +129,8 @@ def cmd_partition(spark, args):
         # cap derives from the ORIGINAL k, not the inflated base shard count
         # (partition.cpp keeps k "so that it chooses the correct max cluster size")
         cover = P.overlapping_kmeans_partition(
-            pts, base, cmat, overlap=overlap, eps=EPS, requested_num_clusters=k
+            pts, base, cmat, overlap=overlap, eps=EPS, requested_num_clusters=k,
+            metric=_metric(),
         )
     else:
         raise SystemExit(f"unknown method {method}")
@@ -145,17 +157,17 @@ def cmd_query_attribution(spark, args):
         # read_ground_truth dispatches: dir = parquet, file = the
         # reference's ids-then-dists binary (points_io.cpp:136-160)
         gt = IO.read_ground_truth(spark, gt_file)
-        gt, _, report = R.validate_ground_truth(gt, pts, qs, k)  # ≙ the eps sweep + repair
+        gt, _, report = R.validate_ground_truth(gt, pts, qs, k, metric=_metric())  # ≙ the eps sweep + repair
         print("gt validation:", json.dumps({str(k_): v for k_, v in report.items()}, default=str))
     else:
-        gt = R.ground_truth(pts, qs, k=k)
+        gt = R.ground_truth(pts, qs, k=k, metric=_metric())
         if gt_file.endswith(".bin"):
             IO.write_ground_truth_bin(gt, gt_file)
         else:
             IO.write_ground_truth(gt, gt_file)
     gt = gt.localCheckpoint(eager=True)
     cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
-    pdf = SW.routing_sweep_pareto(pts, cover, qs, gt, k=k, num_shards=shards)
+    pdf = SW.routing_sweep_pareto(pts, cover, qs, gt, k=k, num_shards=shards, metric=_metric())
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(output)
     print(pdf[pdf["pareto"]].to_string(index=False))
 
@@ -164,7 +176,7 @@ def cmd_oracle_recall(spark, args):
     points_path, queries_path, k, part_file = args[0], args[1], int(args[2]), args[3]
     pts = _load_points(spark, points_path).cache()
     qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
-    gt = R.ground_truth(pts, qs, k=k).localCheckpoint(eager=True)
+    gt = R.ground_truth(pts, qs, k=k, metric=_metric()).localCheckpoint(eager=True)
     cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
     routes = R.oracle_probe_order(gt, cover)
     curve = R.recall_vs_probes(gt, cover, routes, k, qs.count()).orderBy("nprobes").collect()
@@ -175,8 +187,8 @@ def cmd_oracle_recall(spark, args):
 def cmd_graph_quality_bench(spark, args):
     points_path, k = args[0], int(args[1])
     pts = _load_points(spark, points_path).cache()
-    approx = KA.build_knn_graph(pts, k=k)
-    exact = KNN.knn_edges(pts, k=k)
+    approx = KA.build_knn_graph(pts, k=k, metric=_metric())
+    exact = KNN.knn_edges(pts, k=k, metric=_metric())
     print(json.dumps({"graph_recall": round(KA.graph_recall(approx, exact), 4)}))
 
 

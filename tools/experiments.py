@@ -65,9 +65,16 @@ def _datasets(args):
     return out
 
 
+def _set_metric(ds):
+    """≙ choosing the release_l2 / release_mips build folder
+    (experiments.py:52-55): the CLI reads GP_ANN_METRIC per call."""
+    os.environ["GP_ANN_METRIC"] = "mips" if ds["metric"].lower() == "mips" else "l2"
+
+
 def compute_all_partitions(spark, args, datasets):
     """≙ compute_all_partitions (experiments.py:73-81)."""
     for name, ds in datasets.items():
+        _set_metric(ds)
         for method in args.methods.split(","):
             for s in (int(x) for x in args.shards.split(",")):
                 part_prefix = os.path.join(args.out, f"{name}.partition")
@@ -87,6 +94,7 @@ def compute_all_partitions(spark, args, datasets):
 def run_queries_on_all_datasets(spark, args, datasets):
     """≙ run_queries_on_all_datasets (experiments.py:101-110)."""
     for name, ds in datasets.items():
+        _set_metric(ds)
         gt_file = os.path.join(args.out, f"{name}_ground-truth.bin")
         for method in args.methods.split(","):
             for s in (int(x) for x in args.shards.split(",")):
