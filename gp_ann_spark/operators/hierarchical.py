@@ -193,7 +193,13 @@ def our_pyramid_partition(
     edges = KNN.symmetrize(KNN.knn_edges(leaf_pts, k=min(knn_k, n_leaves - 1), metric=metric))
     weights = leaf_cents.select(F.col("leaf").alias("id"), F.col("size").cast("long").alias("w"))
     maps, c_edges, c_w = P.coarsen_graph(edges, weights=weights, target=max(64, n_leaves // 4))
-    part = P._initial_partition_driver(c_edges.toPandas(), c_w.toPandas(), num_shards, eps, seed)
+    # sorted for run-to-run determinism (see graph_partition: toPandas row
+    # order follows the partition layout and feeds the grower's tie-breaks)
+    part = P._initial_partition_driver(
+        c_edges.toPandas().sort_values(["src", "dst"], ignore_index=True),
+        c_w.toPandas().sort_values("id", ignore_index=True),
+        num_shards, eps, seed,
+    )
     spark = points.sparkSession
     coarse_asn = spark.createDataFrame([(int(v), int(s)) for v, s in part.items()], "label long, shard int")
     asn = coarse_asn

@@ -375,8 +375,11 @@ def graph_partition(
     partitioning.cpp:251-264). Returns (id, shard), max shard ≤ (1+ε)n/s.
     """
     maps, c_edges, c_w = coarsen_graph(edges, target=coarse_target)
-    edge_pdf = c_edges.toPandas()
-    weight_pdf = c_w.toPandas()
+    # pin driver-side row order: toPandas() order follows the (AQE-chosen)
+    # partition layout, and the greedy grower's tie-breaks follow row order
+    # — unsorted frames make the partition vary between identical runs
+    edge_pdf = c_edges.toPandas().sort_values(["src", "dst"], ignore_index=True)
+    weight_pdf = c_w.toPandas().sort_values("id", ignore_index=True)
     part = _initial_partition_driver(edge_pdf, weight_pdf, num_shards, eps, seed)
     spark = edges.sparkSession
     coarse_asn = spark.createDataFrame(
