@@ -561,7 +561,9 @@ def q_ann_shard_invariants(spark, sf_dir):
     full candidate budget the IVF probe must equal the exact in-shard probe
     EXACTLY (every cell scanned → brute force); (b) recall vs the exact
     search is monotone in ef (candidate sets are nested by construction);
-    (c) at ef=200 the kernel reaches the declared recall floor on the
+    (c) at ef=200 the kernel reaches the declared recall floor (≥0.9 — the
+    HNSW-class regime; the 20k-point-shard evidence for the same floor is
+    tests/test_ivf_shard.py::test_ivf_recall_floor_large_shard) on the
     embeddings table. Exhaustive routes isolate the kernel from routing."""
     emb = _emb(spark, sf_dir)
     pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).localCheckpoint(eager=True)
@@ -595,7 +597,7 @@ def q_ann_shard_invariants(spark, sf_dir):
             int(n_exact),
             bool(diff_full == 0),
             bool(recalls[50] <= recalls[200] + 1e-9 and recalls[200] <= recalls[400] + 1e-9),
-            bool(recalls[200] >= 0.55),
+            bool(recalls[200] >= 0.9),
         )],
         "n_exact_hits long, exact_at_full_budget boolean, recall_monotone_in_ef boolean, recall_floor_ef200 boolean",
     )

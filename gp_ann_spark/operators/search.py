@@ -79,7 +79,7 @@ def probe_shards(
         Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
         shard = int(points_pdf["shard"].iloc[0])
         if in_shard == "ivf":
-            index = build_ivf(X, seed=seed + shard)
+            index = build_ivf(X, seed=seed + shard, metric=metric)
             idx_rows, dist_rows = ivf_search(Q, X, index, k, ef, metric)
             lens = [len(r) for r in idx_rows]
             return pd.DataFrame(

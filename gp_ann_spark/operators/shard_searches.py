@@ -118,7 +118,7 @@ def run_in_shard_searches_sweep(
         ids = points_pdf["id"].to_numpy()
         Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
         shard = int(points_pdf["shard"].iloc[0])
-        index = build_ivf(X, seed=seed + shard)
+        index = build_ivf(X, seed=seed + shard, metric=metric)
         frames = []
         for ef in ef_list:
             times = []

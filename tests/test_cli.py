@@ -160,3 +160,29 @@ def test_cli_mips_metric_env(spark, pts_file, tmp_path, capsys, monkeypatch):
 
     with _pytest.raises(SystemExit, match="GP_ANN_METRIC"):
         CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+
+
+def test_cli_strong_reaches_graph_builder(spark, pts_file, tmp_path, capsys, monkeypatch):
+    """'strong' must actually reach the graph builder (FANOUT=5/REPETITIONS=5,
+    ≙ partitioning.cpp:253-256) — r3 parsed it and dropped it on the floor.
+    At test scale both configs converge to the exact top-k edge table (the
+    3-rep union already has recall 1.0), so the output cannot witness the
+    flag; spy on build_knn_graph's kwargs instead."""
+    import cli as CLI_mod
+    from gp_ann_spark.operators import knn_approx as KA
+
+    seen = []
+    real = KA.build_knn_graph
+
+    def spy(pts, **kw):
+        seen.append({k: kw.get(k) for k in ("repetitions", "fanout")})
+        return real(pts, **kw)
+
+    monkeypatch.setattr(CLI_mod.KA, "build_knn_graph", spy)
+    out = str(tmp_path / "part")
+    CLI_mod.main(["partition", pts_file, out, "3", "GP", "strong"], spark=spark)
+    capsys.readouterr()
+    assert seen[-1] == {"repetitions": 5, "fanout": 5}
+    CLI_mod.main(["partition", pts_file, out, "3", "GP", "default"], spark=spark)
+    capsys.readouterr()
+    assert seen[-1] == {"repetitions": 3, "fanout": 3}

@@ -67,12 +67,16 @@ def _load_points(spark, path):
     return IO.read_points_bin(spark, path, fmt=fmt)
 
 
-def _knn_edges_auto(pts, k=10):
+def _knn_edges_auto(pts, k=10, strong=False):
     """GP's edge table: approx builder (the reference's default graph source,
-    partitioning.cpp:251-264)."""
+    partitioning.cpp:251-264). ``strong`` bumps the builder to FANOUT=5 /
+    REPETITIONS=5 (≙ partitioning.cpp:253-256, o_partitioning.cpp:60-63)."""
     n = pts.count()
     return KNN.symmetrize(
-        KA.build_knn_graph(pts, k=k, metric=_metric(), max_cluster_size=min(5000, max(200, n // 4)),
+        KA.build_knn_graph(pts, k=k, metric=_metric(),
+                           repetitions=5 if strong else 3,
+                           fanout=5 if strong else 3,
+                           max_cluster_size=min(5000, max(200, n // 4)),
                            top_level_leaders=min(950, max(8, n // 100)))
     )
 
@@ -85,14 +89,13 @@ def cmd_partition(spark, args):
     pts = _load_points(spark, points_path).cache()
     n = pts.count()
     cap = P.max_cluster_size(n, k, EPS)
-    reps = 5 if strong else 3  # 'strong' bumps the graph builder (o_p.cpp:60-63)
     cover = None
     if method == "GP" and overlap != 0.0:
         method = "OGP"
     if method == "Random":
         asn = P.random_partition(pts, k)
     elif method == "GP":
-        asn = P.graph_partition(_knn_edges_auto(pts), k, eps=EPS)
+        asn = P.graph_partition(_knn_edges_auto(pts, strong=strong), k, eps=EPS)
     elif method == "Pyramid":
         asn, _ = H.pyramid_partition(pts, k, eps=EPS, metric=_metric())
     elif method == "KMeans":
@@ -106,7 +109,7 @@ def cmd_partition(spark, args):
     elif method == "OurPyramid":
         asn, _ = H.our_pyramid_partition(pts, k, eps=EPS, metric=_metric())
     elif method == "OGP":
-        edges = _knn_edges_auto(pts).localCheckpoint(eager=True)
+        edges = _knn_edges_auto(pts, strong=strong).localCheckpoint(eager=True)
         k_adj = -(-int((1 + overlap) * n) // cap)  # inflated cluster count (:56)
         base = P.graph_partition(edges, k_adj, eps=EPS)
         cover = P.overlapping_partition(edges, base, overlap=overlap, num_shards=k_adj)
@@ -120,7 +123,7 @@ def cmd_partition(spark, args):
         elif method == "OBKM":
             _, base = KM.balanced_kmeans_bkm(pts, k_adj, cap, metric=_metric())
         else:  # OGPS
-            base = P.graph_partition(_knn_edges_auto(pts), k_adj, eps=EPS)
+            base = P.graph_partition(_knn_edges_auto(pts, strong=strong), k_adj, eps=EPS)
         cents = RT.shard_centroids(pts, base)
         import numpy as np
 
