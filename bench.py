@@ -123,11 +123,16 @@ def main() -> None:
     # 8. flagship sweep: route configs × in-shard ef sweep → recall/QPS
     # Pareto (≙ route_search_combination.cpp:121-226 with the sublinear
     # in-shard kernel, the reference's headline experiment)
+    # deterministic sweep query set: a predicate, not limit() (the same
+    # partition-order bug class the recall curve fixed in r2; limit(200)
+    # made pareto_points flip between same-code runs)
+    sweep_qs = qs.where(F.col("query_id") < min(200, n_points)).localCheckpoint(eager=True)
+
     def sweep_pareto():
         pdf = SW.routing_sweep_pareto(
             points,
             asn,
-            qs.limit(200),
+            sweep_qs,
             gt,
             k=K,
             num_shards=NUM_SHARDS,
@@ -141,9 +146,14 @@ def main() -> None:
         return pdf
 
     pareto = timed("routing_sweep_pareto", sweep_pareto, reps=1)
+    # pareto_points depends on measured QPS and is inherently run-noisy;
+    # the TIMING-FREE keys below are the round-over-round comparables
     extra["pareto_points"] = int(pareto["pareto"].sum())
-    best = pareto[pareto["pareto"]].sort_values("recall").iloc[-1]
-    extra["pareto_best_recall"] = round(float(best["recall"]), 4)
+    # max recall over the grid: the recall-maximal config always survives
+    # the Pareto filter, so this equals pareto-best recall but is a pure
+    # function of the (deterministic) query set — stable across runs
+    extra["pareto_best_recall"] = round(float(pareto["recall"].max()), 4)
+    extra["sweep_mean_recall"] = round(float(pareto["recall"].mean()), 4)
     # 9-10. corpus-side stages
     timed("minhash_lsh_pairs", lambda: DD.minhash_band_pairs(DD.minhash_signatures(docs)).count())
     timed(

@@ -182,13 +182,16 @@ def write_ground_truth(gt: DataFrame, path: str) -> None:
 
 
 def read_ground_truth(spark: SparkSession, path: str) -> DataFrame:
-    """Dispatch: a directory is the Parquet sink; a regular file is the
-    reference's binary interchange format."""
+    """Dispatch: Parquet by default; the reference's binary interchange only
+    for an explicit ``.bin`` suffix or a local regular file. Remote URIs
+    (s3://, hdfs://) are never local files, so they fall through to
+    ``spark.read.parquet``, which handles them — the binary reader's local
+    ``open()`` cannot."""
     import os
 
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    return read_ground_truth_bin(spark, path)
+    if path.endswith(".bin") or os.path.isfile(path):
+        return read_ground_truth_bin(spark, path)
+    return spark.read.parquet(path)
 
 
 def write_ground_truth_bin(gt: DataFrame, path: str) -> None:

@@ -245,9 +245,18 @@ def capacity_fill(
     caps = caps.where(F.col("cap") > 0).localCheckpoint(eager=True)
     # pairs to dead (cap ≤ 0 / unknown) shards can never place — drop once
     remaining = scored.join(F.broadcast(caps), shard_col, "left_semi").localCheckpoint(eager=True)
+    # termination is guaranteed (every continuing pass deletes ≥1 pair), so
+    # #passes ≤ #pairs; assert a generous bound so a logic regression
+    # surfaces as a loud failure instead of an apparent hang of O(#pairs)
+    # window-shuffle Spark jobs
+    max_passes = remaining.count() + 1
     n_pass = 0
     while True:
         n_pass += 1
+        assert n_pass <= max_passes, (
+            f"capacity_fill exceeded {max_passes} passes — each pass must "
+            "delete at least one candidate pair; this is a regression"
+        )
         # propose: each id's best not-yet-rejected candidate
         proposals = (
             remaining.withColumn("_choice", F.row_number().over(w_id))

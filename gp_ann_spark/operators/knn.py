@@ -39,18 +39,31 @@ def _topk_within_block(
     k: int, metric: str, exclude_self: bool,
 ) -> pd.DataFrame:
     """Score one Arrow batch of base points against all queries, keep each
-    query's k best within the block. np.argpartition ≙ the reference's
-    bounded heap (topn.h:6-32) at block granularity."""
+    query's k best within the block. np.partition ≙ the reference's bounded
+    heap (topn.h:6-32) at block granularity.
+
+    Every candidate TIED at the k-th distance is kept (``d <= kth``, not an
+    arbitrary argpartition pick): the global tie-break is (dist,
+    neighbor_id) and dropping the smaller-id member of a boundary tie here
+    would make the final result depend on which Arrow block each point
+    landed in — i.e. on the input's partition layout. The downstream
+    total-order ``head(k)`` trims the extras, so the operator's output is
+    byte-stable across repartitions of the same point set."""
     d = distance_matrix(q_vecs, block_vecs, metric)  # (nq, nb)
     if exclude_self:
         same = q_ids[:, None] == block_ids[None, :]
         d[same] = np.inf
     nb = d.shape[1]
     kk = min(k, nb)
-    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < nb else np.argsort(d, axis=1)
-    rows_q = np.repeat(q_ids, kk)
-    rows_n = block_ids[idx.ravel()]
-    rows_d = np.take_along_axis(d, idx, axis=1).ravel()
+    if kk < nb:
+        kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        mask = d <= kth[:, None]
+    else:
+        mask = np.ones(d.shape, dtype=bool)
+    qi, ci = np.nonzero(mask)
+    rows_q = q_ids[qi]
+    rows_n = block_ids[ci]
+    rows_d = d[qi, ci]
     keep = np.isfinite(rows_d)
     return pd.DataFrame({"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "dist": rows_d[keep]})
 

@@ -32,6 +32,7 @@ files.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,14 +66,45 @@ def _read_next_id(spark: SparkSession, points_dir: str) -> int:
     the meta sink is missing — the clean path is one metadata-row read, not
     a per-batch listing of a 10^12-row sink. The reconcile repairs a stale
     meta after a crash between the points append and the meta write, which
-    would otherwise let a later batch re-issue committed ids."""
+    would otherwise let a later batch re-issue committed ids.
+
+    The marker records the crashed batch's ``(offset, n_new)``; replay
+    verifies the committed count equals either ``offset`` (append never
+    landed — replay re-derives the same ids) or ``offset + n_new`` (append
+    landed, only the meta write was lost). Any intermediate count means a
+    TORN append (a filesystem without atomic job commit left part of the
+    batch's rows in the sink): replay would assign the remaining contents
+    different ids than the crashed attempt while already-written edge rows
+    still name the old ids — fail loudly instead of silently binding edges
+    to the wrong vectors."""
     meta_dir = points_dir + "_meta"
     meta = None
     if _sink_exists(meta_dir):
         meta = int(spark.read.parquet(meta_dir).collect()[0]["next_id"])
-    if meta is not None and not os.path.exists(_inflight_marker(points_dir)):
+    marker = _inflight_marker(points_dir)
+    if meta is not None and not os.path.exists(marker):
         return meta
     committed = int(spark.read.parquet(points_dir).count())
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            raw = fh.read().strip()
+        try:
+            m = json.loads(raw)
+        except ValueError:
+            m = None
+        if isinstance(m, dict) and "offset" in m and "n_new" in m:
+            offset, n_new = int(m["offset"]), int(m["n_new"])
+            if committed not in (offset, offset + n_new):
+                raise RuntimeError(
+                    f"torn append detected in points sink {points_dir}: committed "
+                    f"row count {committed} is neither the in-flight batch's "
+                    f"offset {offset} nor offset+n_new {offset + n_new}. The "
+                    "crashed batch's parquet files are partially committed — "
+                    "quarantine the files newer than the marker (or delete rows "
+                    f"with id >= {offset}) before resuming, or edge rows from "
+                    "the crashed attempt will bind to the wrong vectors."
+                )
+        # legacy plain-int marker (pre-r4): no n_new to verify against
     return max(meta or 0, committed)
 
 
@@ -103,7 +135,9 @@ def _check_bucket_layout(spark: SparkSession, edges_dir: str, n_buckets: int) ->
     n_buckets) but old rows are selected by their STORED bucket value, so a
     mismatch would silently drop/duplicate adjacency. The layout is pinned
     in a one-row meta sink; pre-meta sinks get it stamped after a one-time
-    consistency scan."""
+    consistency scan. A sink written by the pre-bucketing code has no
+    ``bucket`` column at all — raise a targeted migration error instead of
+    an unresolved-column AnalysisException."""
     meta_dir = edges_dir + "_layout"
     if _sink_exists(meta_dir):
         stored = int(spark.read.parquet(meta_dir).collect()[0]["n_buckets"])
@@ -115,15 +149,62 @@ def _check_bucket_layout(spark: SparkSession, edges_dir: str, n_buckets: int) ->
                 f"n_buckets={stored}"
             )
         return
+    sink = spark.read.parquet(edges_dir)
+    if "bucket" not in sink.columns:
+        raise ValueError(
+            f"edge sink {edges_dir} is an unbucketed legacy sink (no 'bucket' "
+            "partition column) — rebuild it, or repartition it once with "
+            "bucket = pmod(src, n_buckets) and write partitionBy('bucket') "
+            "before resuming incremental ingest"
+        )
     bad = (
-        spark.read.parquet(edges_dir)
-        .where(F.pmod(F.col("src"), F.lit(n_buckets)).cast("int") != F.col("bucket"))
+        sink.where(F.pmod(F.col("src"), F.lit(n_buckets)).cast("int") != F.col("bucket"))
         .limit(1)
         .count()
     )
     if bad:
         raise ValueError(
             f"edge sink {edges_dir} bucket layout does not match n_buckets={n_buckets}"
+        )
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(meta_dir)
+
+
+def _points_bucket(n_buckets: int):
+    """Points-sink partition key: a uniform hash of the content sha256 —
+    the dedup anti-join's equi-key, so pruning to the batch's buckets is
+    exact (a hash collision across buckets is impossible: same sha256 ⇒
+    same bucket)."""
+    return F.pmod(F.xxhash64(F.col("sha256")), F.lit(n_buckets)).cast("int")
+
+
+def _check_points_layout(spark: SparkSession, points_dir: str, n_buckets: int) -> None:
+    """Pin the points sink's hash-bucket layout (mirror of the edge sink's
+    guard): pruning the dedup anti-join with buckets computed at a different
+    ``n_buckets`` than the stored ``pbucket`` values would MISS duplicates
+    and silently double-insert rows. Legacy unbucketed sinks (pre-r4) are
+    migrated in place — one O(sink) rewrite, after which every batch's
+    anti-join reads only the batch's buckets."""
+    meta_dir = points_dir + "_playout"
+    if _sink_exists(meta_dir):
+        stored = int(spark.read.parquet(meta_dir).collect()[0]["n_buckets"])
+        if stored != n_buckets:
+            raise ValueError(
+                f"points sink {points_dir} was written with n_buckets={stored}; "
+                f"reopening with n_buckets={n_buckets} would break dedup "
+                f"anti-join pruning — pass n_buckets={stored}"
+            )
+        return
+    sink = spark.read.parquet(points_dir)
+    if "pbucket" not in sink.columns:
+        # one-time migration: stage the bucketed copy, then swap
+        staging = points_dir + "_staging"
+        sink.withColumn("pbucket", _points_bucket(n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("pbucket").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy("pbucket").parquet(
+            points_dir
         )
     spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
         "overwrite"
@@ -164,10 +245,25 @@ def ingest_stream(
             .select("sha256", F.col("rep.content").alias("content"))
         )
         # 2. ... and against the sink (anti-join on the hash — state lives in
-        #    the sink, not the state store)
+        #    the sink, not the state store). The sink is hash-bucketed by
+        #    pbucket = pmod(xxhash64(sha256), n_buckets), so the anti-join
+        #    reads ONLY the batch's buckets (partition-pruned scan) instead
+        #    of the whole 10^12-row sink every micro-batch — same design as
+        #    the edge sink.
         have_sink = _sink_exists(points_dir)
         if have_sink:
-            seen = spark.read.parquet(points_dir).select("sha256")
+            _check_points_layout(spark, points_dir, n_buckets)
+            batch_buckets = [
+                int(r["b"])
+                for r in batch_unique.select(_points_bucket(n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            seen = (
+                spark.read.parquet(points_dir)
+                .where(F.col("pbucket").isin(batch_buckets))
+                .select("sha256")
+            )
             batch_unique = batch_unique.join(seen, "sha256", "left_anti")
         batch_unique = batch_unique.localCheckpoint(eager=True)
         n_new = batch_unique.count()
@@ -180,9 +276,12 @@ def ingest_stream(
         existing = spark.read.parquet(points_dir) if have_sink else None
         # in-flight marker: present ⇒ a batch may have crashed between its
         # sink writes, so the next id read reconciles against the committed
-        # count instead of trusting the (possibly stale) metadata row
+        # count instead of trusting the (possibly stale) metadata row. It
+        # records (offset, n_new) so replay can DETECT a torn append (a
+        # committed count strictly between the two) instead of silently
+        # renumbering — see _read_next_id.
         with open(_inflight_marker(points_dir), "w") as fh:
-            fh.write(str(offset))
+            fh.write(json.dumps({"offset": int(offset), "n_new": int(n_new)}))
         with_ids = dense_ids(batch_unique, order_col="sha256").withColumn(
             "id", F.col("id") + F.lit(offset)
         )
@@ -246,7 +345,13 @@ def ingest_stream(
                 spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
                     1
                 ).write.mode("overwrite").parquet(edges_dir + "_layout")
-        new_pts.write.mode("append").parquet(points_dir)
+        new_pts.withColumn("pbucket", _points_bucket(n_buckets)).write.mode(
+            "append"
+        ).partitionBy("pbucket").parquet(points_dir)
+        if not have_sink:
+            spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(points_dir + "_playout")
         _write_next_id(spark, points_dir, offset + n_new)
         # clean completion: the metadata row is authoritative again
         try:

@@ -143,6 +143,22 @@ def test_experiments_driver_smoke(spark, pts_file, tmp_path, capsys):
     assert os.path.isdir(f"{out}/toy.KMeans.k=3")
     assert os.path.isdir(f"{out}/toy.OKM.k=3.o=0.2")
 
+    # post-processing renderer (≙ extract_recall.py/exp_scripts): the
+    # comparison tables + CSV artifacts build from those result dirs
+    import extract_recall as ER
+
+    assert ER.main(["--out", out, "--csv"]) == 0
+    printed = capsys.readouterr().out
+    assert "best recall@nprobes by method" in printed and "Pareto front" in printed
+    import pandas as pd
+
+    curves = pd.read_csv(f"{out}/toy.k=3.recall_curves.csv").set_index("nprobes")
+    assert {"KMeans", "OKM.o=0.2"} <= set(curves.columns)
+    # exhaustive probing reaches recall 1.0 for the non-overlapping method
+    assert curves["KMeans"].max() >= 0.999
+    front = pd.read_csv(f"{out}/toy.k=3.pareto.csv")
+    assert len(front) >= 1 and front["recall"].max() >= 0.999
+
 
 def test_cli_mips_metric_env(spark, pts_file, tmp_path, capsys, monkeypatch):
     """GP_ANN_METRIC=mips selects the inner-product distance family

@@ -228,3 +228,180 @@ def test_ingest_stream_refuses_bucket_layout_change(spark, tmp_path):
     ).write.mode("append").parquet(input_dir)
     with pytest.raises(Exception, match="n_buckets"):
         ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=8)
+
+
+def _pbucket_files(points_dir):
+    """{pbucket value: {relative file path: sha256(bytes)}} for the
+    hash-bucketed points sink."""
+    import hashlib
+    import os
+
+    out = {}
+    for name in os.listdir(points_dir):
+        if not name.startswith("pbucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        d = os.path.join(points_dir, name)
+        out[b] = {
+            f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_points_sink_bucketed_and_untouched_buckets_identical(spark, tmp_path):
+    """The points sink is hash-bucketed by pmod(xxhash64(sha256), n_buckets)
+    so the per-batch dedup anti-join prunes to the batch's buckets instead
+    of scanning the whole sink; a second drain must leave every bucket it
+    does not append to byte-identical on disk."""
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    docs1 = [f"bucketed points doc {i} word{i * 7 % 5}" for i in range(10)]
+    spark.createDataFrame(_repo_rows(docs1), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    before = _pbucket_files(points_dir)
+    assert before  # sink is partitioned by pbucket
+    # the stored pbucket values honor the layout
+    pts = spark.read.parquet(points_dir)
+    bad = pts.where(
+        F.pmod(F.xxhash64(F.col("sha256")), F.lit(16)).cast("int") != F.col("pbucket")
+    ).count()
+    assert bad == 0
+
+    # drain one new doc + one duplicate: dedup must still hold (pruned
+    # anti-join finds the duplicate in its own bucket) ...
+    spark.createDataFrame(
+        _repo_rows([docs1[0], "a genuinely new eleventh document"]), schema
+    ).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    pts2 = spark.read.parquet(points_dir)
+    assert pts2.count() == 11
+    assert pts2.select("sha256").distinct().count() == 11
+    # ... and every bucket the append did not touch is byte-identical
+    after = _pbucket_files(points_dir)
+    touched = {b for b in after if after[b] != before.get(b, {})}
+    untouched = set(before) - touched
+    assert untouched  # 1 new doc can touch at most 1 of 16 buckets
+    for b in untouched:
+        assert after[b] == before[b]
+
+
+def test_points_sink_layout_change_refused(spark, tmp_path):
+    """Reopening a hash-bucketed points sink with a different n_buckets must
+    fail loudly — pruning with mismatched bucket math would miss duplicates
+    and double-insert rows."""
+    import pytest
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(_repo_rows(["one doc", "two doc"]), schema).write.mode(
+        "append"
+    ).parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    spark.createDataFrame(_repo_rows(["three doc"]), schema).write.mode("append").parquet(
+        input_dir
+    )
+    with pytest.raises(Exception, match="n_buckets=16"):
+        ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=8)
+
+
+def test_legacy_unbucketed_points_sink_migrates(spark, tmp_path):
+    """A pre-bucketing points sink (no pbucket column) is migrated in place
+    on first reopen; dedup and dense ids keep working afterwards."""
+    import os
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = ["legacy doc alpha", "legacy doc beta", "legacy doc gamma"]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    # strip the sink back to the legacy layout: flatten partitions, drop col
+    legacy = spark.read.parquet(points_dir).drop("pbucket").localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(points_dir)
+    shutil.rmtree(points_dir + "_playout")
+    legacy.write.mode("overwrite").parquet(points_dir)
+    assert "pbucket" not in spark.read.parquet(points_dir).columns
+
+    spark.createDataFrame(
+        _repo_rows([docs[0], "legacy era ends here"]), schema
+    ).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    pts = spark.read.parquet(points_dir)
+    assert "pbucket" in pts.columns  # migrated
+    assert pts.count() == 4 and pts.select("sha256").distinct().count() == 4
+    assert sorted(r["id"] for r in pts.select("id").collect()) == [0, 1, 2, 3]
+
+
+def test_torn_append_detected(spark, tmp_path):
+    """A committed row count strictly between the in-flight marker's offset
+    and offset+n_new means a torn (partially committed) points append —
+    replay must fail loudly instead of renumbering the remainder and
+    binding the crashed attempt's edge rows to the wrong vectors."""
+    import json as _json
+
+    import pytest
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = [f"torn append doc {i}" for i in range(6)]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    assert spark.read.parquet(points_dir).count() == 6
+    # forge a crash whose marker says the batch started at offset 2 with 3
+    # rows: committed=6 is neither 2 nor 5 → torn
+    with open(points_dir + "_inflight", "w") as fh:
+        fh.write(_json.dumps({"offset": 2, "n_new": 3}))
+    spark.createDataFrame(_repo_rows(["post crash doc"]), schema).write.mode(
+        "append"
+    ).parquet(input_dir)
+    with pytest.raises(Exception, match="torn append"):
+        ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    # a consistent marker (offset + n_new == committed) replays cleanly
+    with open(points_dir + "_inflight", "w") as fh:
+        fh.write(_json.dumps({"offset": 3, "n_new": 3}))
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    assert spark.read.parquet(points_dir).count() == 7
+
+
+def test_legacy_unbucketed_edge_sink_targeted_error(spark, tmp_path):
+    """An edge sink written by pre-bucketing code (no 'bucket' column) must
+    produce the targeted migration error, not an unresolved-column
+    AnalysisException from the consistency scan."""
+    import shutil
+
+    import pytest
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = ["edge sink doc one", "edge sink doc two", "edge sink doc three"]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    # strip to legacy: unpartitioned sink without the bucket column or layout
+    legacy = spark.read.parquet(edges_dir).drop("bucket").localCheckpoint(eager=True)
+    shutil.rmtree(edges_dir)
+    shutil.rmtree(edges_dir + "_layout")
+    legacy.write.mode("overwrite").parquet(edges_dir)
+    spark.createDataFrame(_repo_rows(["a new doc arrives"]), schema).write.mode(
+        "append"
+    ).parquet(input_dir)
+    with pytest.raises(Exception, match="unbucketed legacy sink"):
+        ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
