@@ -163,6 +163,18 @@ def q_knn_topk(spark, sf_dir):
     return SIM.brute_force_topk(_emb(spark, sf_dir), k=K)
 
 
+def q_knn_topk_mips(spark, sf_dir):
+    """Exact MIPS top-k (mips_distance = 1 − ⟨a,b⟩ ≙ dist.cpp:50-52) over
+    the embeddings — the release_mips build's serving semantics on the same
+    broadcast top-k kernel, value-oracled end-to-end. Ranks only (ordering
+    = ascending mips distance ≡ descending inner product, vec_id
+    tie-break, matching the SQL oracle exactly)."""
+    pts = _points(spark, sf_dir)
+    qs = pts.select(F.col("id").alias("query_id"), "vec")
+    res = KNN.exact_knn(pts, qs, k=K, metric="mips", exclude_self=True)
+    return res.select("query_id", "neighbor_id", "rank")
+
+
 def q_knn_edges(spark, sf_dir):
     return _edges(spark, sf_dir).select("src", "dst")
 
@@ -746,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_band_pairs": q_simhash_band_pairs,
         "knn_topk": q_knn_topk,
+        "knn_topk_mips": q_knn_topk_mips,
         "knn_edges": q_knn_edges,
         "degrees": q_degrees,
         "triangle_count": q_triangle_count,
@@ -897,6 +910,16 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY a.vec_id
                        ORDER BY list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
+                     ) AS rank
+              FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+            ) WHERE rank <= {K}
+        """,
+        "knn_topk_mips": f"""
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY 1.0 - list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
                      ) AS rank
               FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
             ) WHERE rank <= {K}

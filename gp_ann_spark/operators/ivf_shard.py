@@ -178,31 +178,63 @@ def ivf_search(
     # cell ranking for all queries, blocked on the query axis
     q_block = max(1, (64 << 20) // (8 * max(len(C), 1)))
     ent_sizes = ends - starts
+    # per-point ‖x‖² once per search (same axis-1 ufunc reduce as the
+    # inline (Xc*Xc).sum(2) it replaces → bit-identical, minus an
+    # (r, m, d)-sized temporary per block)
+    x_sq = (X * X).sum(axis=1) if metric == "l2" else None
     for lo in range(0, nq, q_block):
         Qb = Q[lo : lo + q_block]
         d_qc = distance_matrix(Qb, C, metric)
         cell_rank = np.lexsort((np.broadcast_to(np.arange(len(C)), d_qc.shape), d_qc), axis=-1)
-        # probe cells until ≥ ef primary members covered (≥1 cell always)
+        # probe cells until ≥ ef primary members covered (≥1 cell always):
+        # row-wise searchsorted(csum, ef) ≡ count of prefix sums < ef
         csum_primary = np.cumsum(primary[cell_rank], axis=1)
-        ncq = np.minimum(
-            cell_rank.shape[1],
-            np.array([int(np.searchsorted(csum_primary[i], ef)) + 1 for i in range(len(Qb))]),
-        )
+        ncq = np.minimum(cell_rank.shape[1], (csum_primary < ef).sum(axis=1) + 1)
         csum_entries = np.cumsum(ent_sizes[cell_rank], axis=1)
         for g in np.unique(ncq):
             rows = np.nonzero(ncq == g)[0]
+            if g == cell_rank.shape[1]:
+                # every cell probed → the deduped candidate union IS the
+                # whole shard: skip the spilled gather (≥2× fewer distance
+                # evals) and score the dense block directly. Extensionally
+                # identical to the generic path (cand = arange(n), same
+                # (dist, position) lexsort) — this is the regime the exact-
+                # at-full-budget gate and small-shard ef sweeps live in.
+                n_all = len(X)
+                blk = max(1, (64 << 20) // (8 * n_all))
+                pos = np.arange(n_all)
+                for glo in range(0, len(rows), blk):
+                    rblk = rows[glo : glo + blk]
+                    dg = distance_matrix(Qb[rblk], X, metric)
+                    srt = np.lexsort((np.broadcast_to(pos, dg.shape), dg), axis=-1)[:, : min(k, n_all)]
+                    ds = np.take_along_axis(dg, srt, axis=1)
+                    for ri, row in enumerate(rblk):
+                        out_idx[lo + row] = srt[ri]
+                        out_dist[lo + row] = ds[ri]
+                continue
             m = int(csum_entries[rows, g - 1].max())  # widest candidate row in group
             # block the group so the gathered (rows, m, d) tensor stays ~64 MB
             g_block = max(1, (64 << 20) // (8 * m * d))
             PAD = np.int64(1) << 62
             for glo in range(0, len(rows), g_block):
                 rblk = rows[glo : glo + g_block]
+                # fully vectorized multi-slice CSR gather (no per-row loop):
+                # flatten the (row, cell) slice list into one repeat/arange
+                # indexing pass over `order`, then scatter into the padded
+                # (rows, m) candidate matrix
+                cells = cell_rank[rblk, :g]  # (r, g)
+                seg_len = (ends[cells] - starts[cells]).ravel()
+                seg_off = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+                flat = np.repeat(starts[cells].ravel() - seg_off, seg_len) + np.arange(
+                    seg_len.sum()
+                )
+                vals = order[flat]
+                row_len = seg_len.reshape(len(rblk), g).sum(axis=1)
+                row_off = np.concatenate(([0], np.cumsum(row_len)[:-1]))
+                row_of = np.repeat(np.arange(len(rblk)), row_len)
+                col_of = np.arange(row_len.sum()) - np.repeat(row_off, row_len)
                 cand = np.full((len(rblk), m), PAD, dtype=np.int64)
-                for ri, row in enumerate(rblk):  # index-copy only, no distances
-                    cells = cell_rank[row, :g]
-                    parts = [order[starts[cc] : ends[cc]] for cc in cells]
-                    v = np.concatenate(parts) if len(parts) > 1 else parts[0]
-                    cand[ri, : len(v)] = v
+                cand[row_of, col_of] = vals
                 # index-space dedup BEFORE any distances: row-sort ascending,
                 # spilled duplicates become adjacent-equal; padding sorts last
                 cand = np.sort(cand, axis=1)
@@ -215,7 +247,7 @@ def ivf_search(
                 # batched |q - x|² / MIPS via one einsum (batched dgemm)
                 dots = np.einsum("rd,rmd->rm", Qg, Xc)
                 if metric == "l2":
-                    dg = (Qg * Qg).sum(1)[:, None] + (Xc * Xc).sum(2) - 2.0 * dots
+                    dg = (Qg * Qg).sum(1)[:, None] + x_sq[safe] - 2.0 * dots
                     np.maximum(dg, 0.0, out=dg)
                 else:
                     dg = 1.0 - dots
