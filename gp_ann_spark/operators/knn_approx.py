@@ -119,12 +119,16 @@ def _bucket_bruteforce(bucketed: DataFrame, k: int, metric: str) -> DataFrame:
         # mask every equal-id pair, not just the diagonal
         d[ids[:, None] == ids[None, :]] = np.inf
         kk = min(k, m - 1)
-        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        w = np.take_along_axis(d, idx, axis=1).ravel()
+        # keep EVERY candidate tied at the k-th distance (d <= kth), not an
+        # arbitrary argpartition pick: the mask is a pure function of the
+        # distance content, so the bucket's output no longer depends on the
+        # row order the shuffle delivered (same fix as knn._topk_within_block
+        # — the downstream total-order merge_topk trims the tie extras)
+        kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        r, c = np.nonzero(d <= kth[:, None])
+        w = d[r, c]
         keep = np.isfinite(w)  # drop masked equal-id pairs
-        return pd.DataFrame(
-            {"src": np.repeat(ids, kk)[keep], "dst": ids[idx.ravel()][keep], "weight": w[keep]}
-        )
+        return pd.DataFrame({"src": ids[r][keep], "dst": ids[c][keep], "weight": w[keep]})
 
     return bucketed.groupBy("bucket").applyInPandas(crunch, schema="src long, dst long, weight double")
 
