@@ -205,7 +205,15 @@ def ivf_search(
                 pos = np.arange(n_all)
                 for glo in range(0, len(rows), blk):
                     rblk = rows[glo : glo + blk]
-                    dg = distance_matrix(Qb[rblk], X, metric)
+                    Qg = Qb[rblk]
+                    # same expression as pairwise_sqr_l2 but with the cached
+                    # x_sq (bit-identical; avoids recomputing the O(n·d)
+                    # norm reduction once per row-block)
+                    if metric == "l2":
+                        dg = (Qg * Qg).sum(1)[:, None] + x_sq[None, :] - 2.0 * (Qg @ X.T)
+                        np.maximum(dg, 0.0, out=dg)
+                    else:
+                        dg = 1.0 - Qg @ X.T
                     srt = np.lexsort((np.broadcast_to(pos, dg.shape), dg), axis=-1)[:, : min(k, n_all)]
                     ds = np.take_along_axis(dg, srt, axis=1)
                     for ri, row in enumerate(rblk):
@@ -289,9 +297,11 @@ def ivf_search_reference(
         g = min(len(co), int(np.searchsorted(csum, ef)) + 1)
         cand = np.unique(np.concatenate([order[starts[cc] : ends[cc]] for cc in co[:g]]))
         dd = distance_matrix(Q[i : i + 1], X[cand], metric)[0]
-        kk = min(k, len(cand))
-        part = np.argpartition(dd, kk - 1)[:kk] if kk < len(dd) else np.arange(len(dd))
-        srt = np.lexsort((cand[part], dd[part]))
-        out_idx.append(cand[part][srt])
-        out_dist.append(dd[part][srt])
+        # full (dist, position) lexsort — no argpartition prefilter: its pick
+        # among candidates tied at the k-th distance is arbitrary, which made
+        # this oracle diverge from the canonical vectorized path on shards
+        # containing duplicate vectors
+        srt = np.lexsort((cand, dd))[: min(k, len(cand))]
+        out_idx.append(cand[srt])
+        out_dist.append(dd[srt])
     return out_idx, out_dist

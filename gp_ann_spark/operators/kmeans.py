@@ -246,17 +246,25 @@ def capacity_fill(
     # pairs to dead (cap ≤ 0 / unknown) shards can never place — drop once
     remaining = scored.join(F.broadcast(caps), shard_col, "left_semi").localCheckpoint(eager=True)
     # termination is guaranteed (every continuing pass deletes ≥1 pair), so
-    # #passes ≤ #pairs; assert a generous bound so a logic regression
+    # #passes ≤ #pairs; guard with a generous bound so a logic regression
     # surfaces as a loud failure instead of an apparent hang of O(#pairs)
-    # window-shuffle Spark jobs
-    max_passes = remaining.count() + 1
+    # window-shuffle Spark jobs. The bound is computed LAZILY (a count() job
+    # only once a run looks suspicious) and raised as RuntimeError — a bare
+    # assert would both cost the count up front on every healthy call and
+    # vanish under python -O.
+    max_passes: int | None = None
     n_pass = 0
     while True:
         n_pass += 1
-        assert n_pass <= max_passes, (
-            f"capacity_fill exceeded {max_passes} passes — each pass must "
-            "delete at least one candidate pair; this is a regression"
-        )
+        if max_passes is None and n_pass > 64:
+            # still valid as a bound from HERE: each future pass deletes ≥1
+            # of the currently remaining pairs
+            max_passes = n_pass + remaining.count() + 1
+        if max_passes is not None and n_pass > max_passes:
+            raise RuntimeError(
+                f"capacity_fill exceeded {max_passes} passes — each pass must "
+                "delete at least one candidate pair; this is a regression"
+            )
         # propose: each id's best not-yet-rejected candidate
         proposals = (
             remaining.withColumn("_choice", F.row_number().over(w_id))

@@ -74,6 +74,10 @@ def probe_shards(
             return pd.DataFrame(
                 {"query_id": [], "shard": [], "probe_rank": [], "neighbor_id": [], "dist": []}
             ).astype({"query_id": "int64", "shard": "int32", "probe_rank": "int32", "neighbor_id": "int64", "dist": "float64"})
+        # sort by id: the kernels tie-break by POSITION into X, and cogroup
+        # delivers rows in shuffle order — sorting makes position order ==
+        # id order, so tie resolution no longer depends on the input layout
+        points_pdf = points_pdf.sort_values("id", ignore_index=True)
         X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
         ids = points_pdf["id"].to_numpy()
         Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
@@ -93,14 +97,24 @@ def probe_shards(
             )
         d = distance_matrix(Q, X, metric)
         kk = min(k, d.shape[1])
-        idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1)
+        # keep every candidate tied at the k-th distance (content-based
+        # mask, not an arbitrary argpartition pick): merge_results ranks by
+        # the total (dist, neighbor_id) order, and a tied candidate dropped
+        # here could never resurface — the same boundary-tie fix as
+        # knn._topk_within_block, required for exact == ivf-at-full-budget
+        # on shards containing duplicate vectors
+        if kk < d.shape[1]:
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+            qi, ci = np.nonzero(d <= kth[:, None])
+        else:
+            qi, ci = np.nonzero(np.ones(d.shape, dtype=bool))
         return pd.DataFrame(
             {
-                "query_id": np.repeat(queries_pdf["query_id"].to_numpy(), kk),
+                "query_id": queries_pdf["query_id"].to_numpy()[qi],
                 "shard": shard,
-                "probe_rank": np.repeat(queries_pdf["probe_rank"].to_numpy(), kk),
-                "neighbor_id": ids[idx.ravel()],
-                "dist": np.take_along_axis(d, idx, axis=1).ravel(),
+                "probe_rank": queries_pdf["probe_rank"].to_numpy().astype(np.int32)[qi],
+                "neighbor_id": ids[ci],
+                "dist": d[qi, ci],
             }
         )
 

@@ -58,6 +58,7 @@ def run_in_shard_searches(
         )
         if len(points_pdf) == 0 or len(queries_pdf) == 0:
             return empty
+        points_pdf = points_pdf.sort_values("id", ignore_index=True)  # layout-stable tie-breaks
         X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
         ids = points_pdf["id"].to_numpy()
         Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)
@@ -114,6 +115,7 @@ def run_in_shard_searches_sweep(
             return pd.DataFrame(
                 {"shard": [], "query_id": [], "probe_rank": [], "ef": [], "neighbors": [], "time_s": []}
             ).astype({"shard": "int32", "query_id": "int64", "probe_rank": "int32", "ef": "int32", "time_s": "float64"}, errors="ignore")
+        points_pdf = points_pdf.sort_values("id", ignore_index=True)  # layout-stable tie-breaks
         X = np.stack(points_pdf["vec"].to_numpy()).astype(np.float64)
         ids = points_pdf["id"].to_numpy()
         Q = np.stack(queries_pdf["vec"].to_numpy()).astype(np.float64)

@@ -198,14 +198,44 @@ def _check_points_layout(spark: SparkSession, points_dir: str, n_buckets: int) -
         return
     sink = spark.read.parquet(points_dir)
     if "pbucket" not in sink.columns:
-        # one-time migration: stage the bucketed copy, then swap
+        # one-time migration: stage the bucketed copy, then SWAP via two
+        # filesystem renames (crash-safe on a local FS: the original sink is
+        # never deleted before the complete replacement is in place; Spark's
+        # mode('overwrite') deletes the target first, which a crash mid-write
+        # would turn into data loss). Remote URIs fall back to the Spark
+        # overwrite — there the table format's atomic commit is the real
+        # answer (see README 'Table format').
+        import shutil
+
         staging = points_dir + "_staging"
         sink.withColumn("pbucket", _points_bucket(n_buckets)).write.mode(
             "overwrite"
         ).partitionBy("pbucket").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").partitionBy("pbucket").parquet(
-            points_dir
+        backup = points_dir + "_prebucket"
+        try:
+            os.rename(points_dir, backup)
+            os.rename(staging, points_dir)
+            shutil.rmtree(backup)
+        except OSError:
+            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                "pbucket"
+            ).parquet(points_dir)
+            shutil.rmtree(staging, ignore_errors=True)
+    else:
+        # sidecar missing but the sink IS bucketed (e.g. the sidecar write
+        # was lost): verify the stored values against THIS n_buckets before
+        # stamping — blind stamping over values computed with a different
+        # n_buckets would bless wrong-bucket pruning (mirrors the edge
+        # guard's one-time consistency scan)
+        bad = (
+            sink.where(_points_bucket(n_buckets) != F.col("pbucket")).limit(1).count()
         )
+        if bad:
+            raise ValueError(
+                f"points sink {points_dir} pbucket values do not match "
+                f"n_buckets={n_buckets} — it was bucketed with a different "
+                "layout; pass the original n_buckets or re-migrate"
+            )
     spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
         "overwrite"
     ).parquet(meta_dir)
@@ -268,6 +298,16 @@ def ingest_stream(
         batch_unique = batch_unique.localCheckpoint(eager=True)
         n_new = batch_unique.count()
         if n_new == 0:
+            # a replayed batch whose points append fully landed dedups to
+            # zero — finalize the crashed attempt's bookkeeping (else the
+            # marker leaks and EVERY later batch pays the count-reconcile
+            # over the full sink). _read_next_id validates the marker's
+            # (offset, n_new) against the committed count first, so a torn
+            # append still fails loudly here rather than being blessed.
+            marker = _inflight_marker(points_dir)
+            if have_sink and os.path.exists(marker):
+                _write_next_id(spark, points_dir, _read_next_id(spark, points_dir))
+                os.remove(marker)
             return
         # 3. dense ids continue from the metadata sink's next_id
         #    (deterministic within the batch: rank by sha256, prefix-sum

@@ -160,3 +160,66 @@ def test_run_in_shard_searches_sweep(spark, rng):
     )
     ex = exact.select("shard", "query_id", F.explode("neighbors").alias("n"))
     assert big.exceptAll(ex).count() + ex.exceptAll(big).count() == 0
+
+
+def _canon_d(q, X):
+    """Shape-independent canonical distance: the DIFFERENCE form's reduction
+    order depends only on d, never on how pairs were batched — unlike the
+    dgemm expansion, whose last-ulp output varies with the call shape."""
+    return ((X - q[None, :]) ** 2).sum(-1)
+
+
+def _kth_excl_self(X, qid, k):
+    d = _canon_d(X[qid], X)
+    d[qid] = np.inf  # the probe's exclude-self semantics (query IS a point)
+    return np.sort(d, kind="stable")[k - 1]
+
+
+def test_ivf_ties_with_duplicate_vectors_valid_topk(spark, rng):
+    """Shards containing DUPLICATE vectors (real corpora have them) tie many
+    candidates at the k-th distance, and those ties are only NEAR-ties in
+    computed distances (different BLAS call shapes differ in the last ulp —
+    the same reassociation the reference tolerates via its 1e-1..1e-10 GT
+    validation sweep, recall.h:85-86). The honest contract on such data is
+    distance-based validity with ties counting (≙ Recall recall.h:139-150):
+    every path must return a top-k whose canonical distances are within eps
+    of the canonical k-th distance."""
+    k, eps = 5, 1e-9
+    base = rng.normal(size=(40, 8))
+    X = base[rng.integers(0, 40, 300)].astype(np.float64)  # ~7.5 copies each
+    Q = base[rng.integers(0, 40, 30)].astype(np.float64)
+    idx = build_ivf(X, seed=555)
+    kth_full = np.array([np.sort(_canon_d(q, X), kind="stable")[k - 1] for q in Q])
+    for ef in (10, 60, 10**9):
+        a_i, _a_d = ivf_search(Q, X, idx, k, ef)
+        b_i, _b_d = ivf_search_reference(Q, X, idx, k, ef)
+        for i in range(len(Q)):
+            # identical candidate sets → same row count; per-rank canonical
+            # dists agree within eps (tie groups may permute internally)
+            assert len(a_i[i]) == len(b_i[i]) == k
+            da = np.sort(_canon_d(Q[i], X[a_i[i]]), kind="stable")
+            db = np.sort(_canon_d(Q[i], X[b_i[i]]), kind="stable")
+            assert np.allclose(da, db, atol=eps), (ef, i)
+            if ef >= len(X):  # full budget → valid GLOBAL top-k, ties count
+                assert (da <= kth_full[i] + eps).all(), (ef, i)
+
+    # Spark side: the exact probe and ivf-at-full-budget must EACH return a
+    # valid global top-k under the canonical distance (set equality between
+    # them is not guaranteed on duplicate data — tie groups resolve by each
+    # path's own computed last-ulp distances)
+    pts = make_points_df(spark, X).cache()
+    asn = pts.select("id", (F.pmod("id", F.lit(4))).cast("int").alias("shard"))
+    qs = pts.select(F.col("id").alias("query_id"), "vec").where(F.col("query_id") < 15)
+    shards = spark.createDataFrame([(s,) for s in range(4)], "shard int")
+    routes = qs.select("query_id").crossJoin(shards).withColumn("probe_rank", F.col("shard") + 1)
+    sp = S.shard_points(pts, asn).localCheckpoint(eager=True)
+    for in_shard, ef in (("exact", 0), ("ivf", 10**9)):
+        res = S.merge_results(S.probe_shards(sp, qs, routes, k=k, in_shard=in_shard, ef=ef), k)
+        by_q = {}
+        for r in res.select("query_id", "neighbor_id").collect():
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert set(by_q) == set(range(15))
+        for qid, nbrs in by_q.items():
+            assert len(nbrs) == k
+            dc = _canon_d(X[qid], X[np.array(nbrs)])
+            assert (dc <= _kth_excl_self(X, qid, k) + eps).all(), (in_shard, qid)

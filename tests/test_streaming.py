@@ -405,3 +405,61 @@ def test_legacy_unbucketed_edge_sink_targeted_error(spark, tmp_path):
     ).parquet(input_dir)
     with pytest.raises(Exception, match="unbucketed legacy sink"):
         ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+
+
+def test_duplicate_only_replay_finalizes_marker(spark, tmp_path):
+    """A replayed batch whose points append fully landed dedups to zero new
+    rows — it must still clear the crashed attempt's in-flight marker and
+    refresh the meta row, or every later batch pays the count-reconcile over
+    the full sink (r4 review finding)."""
+    import json as _json
+    import os
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = [f"marker finalize doc {i}" for i in range(5)]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    # simulate: crash AFTER points append + meta write, BEFORE marker removal
+    with open(points_dir + "_inflight", "w") as fh:
+        fh.write(_json.dumps({"offset": 0, "n_new": 5}))
+    # replay delivers the same (duplicate-only) content
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16)
+    assert not os.path.exists(points_dir + "_inflight")  # finalized
+    meta = spark.read.parquet(points_dir + "_meta").collect()[0]["next_id"]
+    assert meta == 5
+    assert spark.read.parquet(points_dir).count() == 5
+
+
+def test_points_sidecar_loss_with_wrong_n_buckets_refused(spark, tmp_path):
+    """If the _playout sidecar is lost, reopening a bucketed points sink
+    must VERIFY the stored pbucket values before stamping a new layout —
+    blind stamping with a different n_buckets would bless wrong-bucket
+    pruning (r4 review finding)."""
+    import shutil
+
+    import pytest
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(_repo_rows(["sidecar doc a", "sidecar doc b"]), schema).write.mode(
+        "append"
+    ).parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    shutil.rmtree(points_dir + "_playout")  # sidecar lost
+    spark.createDataFrame(_repo_rows(["sidecar doc c"]), schema).write.mode("append").parquet(
+        input_dir
+    )
+    with pytest.raises(Exception, match="pbucket values do not match"):
+        ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=8)
+    # with the ORIGINAL n_buckets the scan passes and the sidecar is re-stamped
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    assert spark.read.parquet(points_dir).count() == 3
+    assert spark.read.parquet(points_dir + "_playout").collect()[0]["n_buckets"] == 16
