@@ -202,3 +202,44 @@ def test_cli_strong_reaches_graph_builder(spark, pts_file, tmp_path, capsys, mon
     CLI_mod.main(["partition", pts_file, out, "3", "GP", "default"], spark=spark)
     capsys.readouterr()
     assert seen[-1] == {"repetitions": 3, "fanout": 3}
+
+
+def test_cli_small_scale_queries(spark, pts_file, tmp_path, capsys):
+    """SmallScaleQueries parity (small_scale_queries.cpp:25-189): both
+    branches — global ef sweep without a partition, and the router × kernel
+    × nprobes CSV with one."""
+    import csv
+    import os
+
+    # unpartitioned branch: global ef sweep, printed
+    gt1 = str(tmp_path / "gt_a.bin")
+    CLI.main(
+        ["small-scale-queries", pts_file, pts_file, gt1, "5", str(tmp_path / "nope"), "None", str(tmp_path / "o")],
+        spark=spark,
+    )
+    printed = capsys.readouterr().out
+    sweep_lines = [l for l in printed.splitlines() if l.startswith("global query with ef")]
+    assert len(sweep_lines) == 9
+    # large ef covers the whole 90-point set → recall 1.0 on the last line
+    assert "recall = 1.0000" in sweep_lines[-1]
+
+    # partitioned branch: CSV with the reference's columns
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+    capsys.readouterr()
+    csv_out = str(tmp_path / "ssq.csv")
+    CLI.main(
+        ["small-scale-queries", pts_file, pts_file, gt1, "5", f"{out}.k=3.KMeans.parquet", "KMeans", csv_out],
+        spark=spark,
+    )
+    capsys.readouterr()
+    with open(csv_out) as f:
+        rows = list(csv.DictReader(f))
+    assert {r["routing"] for r in rows} == {"KMTR", "HNSW"}
+    assert {r["shard query"] for r in rows} == {"BruteForce", "HNSW"}
+    # 2 routers x 2 kernels x 3 probes
+    assert len(rows) == 12
+    # probing every shard reaches full recall for the exact kernel
+    full = [r for r in rows if r["shard query"] == "BruteForce" and r["probes"] == "3"]
+    assert full and all(float(r["recall"]) >= 0.999 for r in full)
+    assert all(float(r["latency"]) > 0 for r in rows)

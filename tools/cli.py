@@ -14,6 +14,11 @@ of the reference can run the same commands against this engine.
         probe order.
     python tools/cli.py graph-quality-bench <points> <k>
         (graph_quality_benchmark.cpp:53-66): approx-vs-exact graph recall.
+    python tools/cli.py small-scale-queries <points> <queries> <gt> <k> <partition> <method> <out.csv>
+        (small_scale_queries.cpp:25-189): the single-machine serving
+        experiment — KMTR + HNSW-style routing × exact/sublinear in-shard
+        kernels × nprobes, CSV in the reference's column layout; without a
+        partition, a global sublinear-index ef sweep.
     python tools/cli.py convert <in.fbin|in.parquet> <out.parquet|out.fbin>
         (convert.cpp): point-format conversion + duplicate diagnostic for
         `.clusters` inputs.
@@ -195,6 +200,110 @@ def cmd_graph_quality_bench(spark, args):
     print(json.dumps({"graph_recall": round(KA.graph_recall(approx, exact), 4)}))
 
 
+def cmd_small_scale_queries(spark, args):
+    """≙ SmallScaleQueries (small_scale_queries.cpp:25-189) — the single-
+    machine serving experiment:
+
+        small-scale-queries <points> <queries> <gt-file> <k> <partition-file> <part-method> <out-file>
+
+    Without a partition (file missing or method ``None``): a global
+    sublinear-index ef sweep over the whole point set (≙ the direct-HNSW
+    branch, :57-91 — here the in-task IVF kernel at the same ef grid).
+    With a partition: KMTR routing (Train budget 50k / search budget ≙
+    :97-117) and the HNSW-style router (broadcast top-60 scoring ≙ :123-126)
+    × {BruteForce, sublinear} in-shard kernels (≙ InvertedIndex /
+    InvertedIndexHNSW at ef_search=120, :132-137) × nprobes 1..num_shards →
+    the reference's CSV columns (:143-144). Latencies come from executor-side
+    task timers (time_s) via the QPS model; routing latency is the measured
+    wall time of materializing the routes."""
+    import time as _time
+
+    from gp_ann_spark.operators import search as SRCH
+    from gp_ann_spark.operators import shard_searches as SS
+
+    points_path, queries_path, gt_file, k_s, part_file, part_method, out_file = args[:7]
+    k = int(k_s)
+    metric = _metric()
+    pts = _load_points(spark, points_path).cache()
+    qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
+    nq = qs.count()
+    if os.path.exists(gt_file) or os.path.isdir(gt_file):
+        gt = IO.read_ground_truth(spark, gt_file)
+    else:
+        gt = R.ground_truth(pts, qs, k=k, metric=metric)
+        if gt_file.endswith(".bin"):
+            IO.write_ground_truth_bin(gt, gt_file)
+        else:
+            IO.write_ground_truth(gt, gt_file)
+    gt = gt.localCheckpoint(eager=True)
+
+    if part_method == "None" or not (os.path.exists(part_file) or os.path.isdir(part_file)):
+        # unpartitioned: global index, ef sweep (reference prints, no CSV)
+        asn = pts.select("id", F.lit(0).cast("int").alias("shard"))
+        routes = qs.select("query_id").withColumn("shard", F.lit(0)).withColumn(
+            "probe_rank", F.lit(1)
+        )
+        sp = SRCH.shard_points(pts, asn).localCheckpoint(eager=True)
+        sr = SS.run_in_shard_searches_sweep(
+            sp, qs, routes, k=k, metric=metric,
+            ef_values=(20, 50, 80, 100, 120, 150, 200, 300, 400), reps=1,
+        ).localCheckpoint(eager=True)
+        for ef in (20, 50, 80, 100, 120, 150, 200, 300, 400):
+            one = sr.where(F.col("ef") == ef)
+            hits = (
+                one.select("query_id", F.explode("neighbors").alias("neighbor_id"))
+                .join(gt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+                .count()
+            )
+            t = one.agg(F.sum("time_s")).collect()[0][0] or 0.0
+            print(
+                f"global query with ef = {ef} took {t:.4f} seconds. "
+                f"recall = {hits / (nq * k):.4f}. avg latency = {1000.0 * t / nq:.4f} ms."
+            )
+        return
+
+    cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
+    num_shards = cover.agg(F.max("shard")).collect()[0][0] + 1
+    sp = SRCH.shard_points(pts, cover).localCheckpoint(eager=True)
+    rp = RT.train_kmeans_tree(pts, cover, sample_per_shard=50_000).localCheckpoint(eager=True)
+
+    def timed_routes(fn):
+        t0 = _time.perf_counter()
+        r = fn().localCheckpoint(eager=True)
+        return r, _time.perf_counter() - t0
+
+    routers = [
+        # ≙ KMTR FrequencyQuery with search budget (:115) — voting over the
+        # tree's routing points
+        ("KMTR", *timed_routes(lambda: RT.kmeans_tree_router(qs, rp, num_voting=500, metric=metric))),
+        # ≙ hnsw_router.Query(q, 60).RoutingQuery() (:125) — min-dist order
+        # over the top-60 routing points
+        ("HNSW", *timed_routes(lambda: RT.kmeans_tree_router(qs, rp, num_voting=60, metric=metric, policy="min_dist"))),
+    ]
+    with open(out_file, "w") as out:
+        out.write("partitioning,routing,shard query,probes,latency,routing latency, query latency,recall\n")
+        for desc, routes, routing_time in routers:
+            for shard_query, sr in (
+                ("BruteForce", SS.run_in_shard_searches(sp, qs, routes, k=k, metric=metric, reps=1)),
+                ("HNSW", SS.run_in_shard_searches_sweep(
+                    sp, qs, routes, k=k, metric=metric, ef_values=(120,), reps=1
+                ).drop("ef")),
+            ):
+                sr = sr.localCheckpoint(eager=True)
+                grid = SS.recall_qps_grid(sr, gt, k, nq, range(1, num_shards + 1))
+                for _, g in grid.iterrows():
+                    qlat = 1.0 / g["qps"] if g["qps"] > 0 else float("inf")
+                    lat = routing_time / nq + qlat
+                    out.write(
+                        f"{part_method},{desc},{shard_query},{int(g['nprobes'])},"
+                        f"{lat},{routing_time / nq},{qlat},{g['recall']}\n"
+                    )
+                    print(
+                        f"router = {desc} query = {shard_query} nprobes = {int(g['nprobes'])} "
+                        f"recall = {g['recall']:.4f} avg latency = {1000.0 * lat:.4f} ms"
+                    )
+
+
 def cmd_convert(spark, args):
     src, dst = args[0], args[1]
     if src.endswith(".clusters"):
@@ -214,6 +323,7 @@ COMMANDS = {
     "query-attribution": cmd_query_attribution,
     "oracle-recall": cmd_oracle_recall,
     "graph-quality-bench": cmd_graph_quality_bench,
+    "small-scale-queries": cmd_small_scale_queries,
     "convert": cmd_convert,
 }
 
