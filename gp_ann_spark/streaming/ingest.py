@@ -179,6 +179,35 @@ def _points_bucket(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("sha256")), F.lit(n_buckets)).cast("int")
 
 
+def _heal_interrupted_migration(points_dir: str) -> None:
+    """Finish a legacy-sink migration that crashed between its two renames.
+
+    The migration sequence is: write complete bucketed copy to ``_staging``
+    → rename sink → ``_prebucket`` → rename ``_staging`` → sink → delete
+    ``_prebucket``. A ``_prebucket`` directory therefore implies the staging
+    copy was COMPLETE when the crash happened: if the sink is missing,
+    promote the staging copy (or, if staging is somehow gone too, restore
+    the backup); if the sink is present, only the final cleanup was lost.
+    Without this, a crash in that window makes the next drain see "no sink"
+    and restart dense ids at 0 over a live edge table."""
+    backup = points_dir + "_prebucket"
+    if not os.path.isdir(backup):
+        return
+    staging = points_dir + "_staging"
+    import shutil
+
+    if not _sink_exists(points_dir):
+        if os.path.isdir(points_dir):
+            shutil.rmtree(points_dir)  # partially created target
+        if _sink_exists(staging):
+            os.rename(staging, points_dir)
+        else:
+            os.rename(backup, points_dir)
+            return  # keep nothing else: migration will re-run from scratch
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def _check_points_layout(spark: SparkSession, points_dir: str, n_buckets: int) -> None:
     """Pin the points sink's hash-bucket layout (mirror of the edge sink's
     guard): pruning the dedup anti-join with buckets computed at a different
@@ -280,6 +309,7 @@ def ingest_stream(
         #    reads ONLY the batch's buckets (partition-pruned scan) instead
         #    of the whole 10^12-row sink every micro-batch — same design as
         #    the edge sink.
+        _heal_interrupted_migration(points_dir)
         have_sink = _sink_exists(points_dir)
         if have_sink:
             _check_points_layout(spark, points_dir, n_buckets)

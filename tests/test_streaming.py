@@ -463,3 +463,37 @@ def test_points_sidecar_loss_with_wrong_n_buckets_refused(spark, tmp_path):
     ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
     assert spark.read.parquet(points_dir).count() == 3
     assert spark.read.parquet(points_dir + "_playout").collect()[0]["n_buckets"] == 16
+
+
+def test_interrupted_migration_heals(spark, tmp_path):
+    """A crash between the legacy-migration's two renames leaves the points
+    sink missing with a complete staging copy + a _prebucket backup — the
+    next drain must promote the staging copy instead of treating the sink
+    as fresh and restarting dense ids at 0 over a live edge table."""
+    import os
+    import shutil
+
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = ["heal doc one", "heal doc two", "heal doc three"]
+    spark.createDataFrame(_repo_rows(docs), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    # forge the crash state: sink gone, complete staging + backup present
+    shutil.copytree(points_dir, points_dir + "_staging")
+    os.rename(points_dir, points_dir + "_prebucket")
+    assert not os.path.isdir(points_dir)
+
+    spark.createDataFrame(_repo_rows(["heal doc four"]), schema).write.mode("append").parquet(
+        input_dir
+    )
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=3, dim=16, n_buckets=16)
+    pts = spark.read.parquet(points_dir)
+    assert pts.count() == 4
+    assert sorted(r["id"] for r in pts.select("id").collect()) == [0, 1, 2, 3]  # ids continued
+    assert not os.path.isdir(points_dir + "_prebucket")
+    assert not os.path.isdir(points_dir + "_staging")
+    rebuilt = KNN.knn_edges(pts.select("id", "vec"), k=3)
+    assert _edge_set(spark.read.parquet(edges_dir)) == _edge_set(rebuilt)
