@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gp_ann_spark.functions.distances import distance_matrix, pairwise_sqr_l2
+from gp_ann_spark.functions.distances import VALID_METRICS, pairwise_sqr_l2
 
 SEED = 555
 
@@ -72,11 +72,123 @@ def shard_centroids(points: DataFrame, assignment: DataFrame, vec_col: str = "ve
     )
 
 
-def _routing_matrix(routing_points: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    pdf = routing_points.select("shard", "vec").toPandas()
+# Above this many routing points the scoring kernel stays distributed
+# (blocked cross-score over routing-point partitions) instead of collecting
+# + broadcasting the table — the reference's router-budget sweep reaches 10M
+# routing points (routes.cpp:130), which no driver/broadcast should hold.
+MAX_BROADCAST_ROUTING_POINTS = 500_000
+
+# per-block distance-matrix budget (same 64 MB discipline as
+# ivf_shard._blocked_topn — the in-repo template for scale-safe kernels)
+SCORE_BUDGET_BYTES = 64 << 20
+
+_PAD_HASH = np.int64((1 << 62))  # sorts after every real xxhash64 tie-key
+
+
+def _canonical_row_topnv(d: np.ndarray, h: np.ndarray, nv: int) -> np.ndarray:
+    """Row-wise top-``nv`` column positions of ``d`` under the (dist, hash)
+    total order. argpartition fast path; a full (dist, hash) lexsort repairs
+    ONLY the rows where a distance tie straddles the nv-th position —
+    argpartition's pick among exactly-tied candidates is arbitrary and would
+    otherwise leak the block layout into the result (same bug class as the
+    r4 CrunchBucket boundary-tie fix). Returned positions are NOT ordered
+    within a row; callers lexsort during their merge."""
+    m, w = d.shape
+    if nv >= w:
+        return np.broadcast_to(np.arange(w), (m, w))
+    part = np.argpartition(d, nv - 1, axis=1)[:, :nv]
+    kth = np.take_along_axis(d, part, axis=1).max(axis=1)
+    tied = np.nonzero((d <= kth[:, None]).sum(axis=1) > nv)[0]
+    for r in tied:  # rare: needs exact duplicate distances at the boundary
+        part[r] = np.lexsort((h, d[r]))[:nv]
+    return part
+
+
+def _score_block_topnv(
+    Q: np.ndarray,
+    V: np.ndarray,
+    rp_hash: np.ndarray,
+    nv: int,
+    metric: str,
+    budget_bytes: int = SCORE_BUDGET_BYTES,
+    score_dtype=np.float64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``nv`` routing points per query row, two-axis blocked.
+
+    Neither the (nq × n_routing) distance matrix nor an unblocked routing
+    axis is ever materialized: queries are split into row blocks and routing
+    points into column blocks so every distance block stays ≤ budget_bytes
+    (at the reference's 10M-point router budget an unblocked batch×n matrix
+    is ~8 GB per task — the r4 scale killer this kernel replaces).
+
+    Ties at the nv-th distance are broken by ``rp_hash`` (a Spark-side
+    xxhash64 of (shard, vec)) — canonical across block layouts, partition
+    counts, and the broadcast/distributed paths, so all paths are
+    bit-identical (tests/test_routing_search.py).
+
+    Returns ``(idx, dist)`` of shape (nq, ≤nv): column positions into V and
+    their distances, each row in (dist, rp_hash) order; rows with fewer than
+    nv real points are padded with -1 / +inf.
+    """
+    itemsize = np.dtype(score_dtype).itemsize
+    nq, n = len(Q), len(V)
+    nv = min(nv, n)
+    Q = np.asarray(Q, dtype=score_dtype)
+    V = np.asarray(V, dtype=score_dtype)
+    # column blocks first: each must hold ≥ nv points so a block's local
+    # top-nv is sufficient for the global merge
+    v_block = max(nv, budget_bytes // (itemsize * max(nq, 1)), 1)
+    q_block = max(1, budget_bytes // (itemsize * min(v_block, n) or 1))
+    out_idx = np.empty((nq, nv), dtype=np.int64)
+    out_dist = np.empty((nq, nv), dtype=np.float64)
+    for qlo in range(0, nq, q_block):
+        Qb = Q[qlo : qlo + q_block]
+        m = len(Qb)
+        best_d = np.full((m, nv), np.inf)
+        best_h = np.full((m, nv), _PAD_HASH, dtype=np.int64)
+        best_i = np.full((m, nv), -1, dtype=np.int64)
+        for vlo in range(0, n, v_block):
+            Vb = V[vlo : vlo + v_block]
+            # same expression as distance_matrix/pairwise_sqr_l2 but at the
+            # caller's dtype (the shared kernels force float64): bit-identical
+            # for float64, half the block memory/bandwidth for float32
+            if metric == "l2":
+                d = (Qb * Qb).sum(axis=1)[:, None] + (Vb * Vb).sum(axis=1)[None, :] - 2.0 * (Qb @ Vb.T)
+                np.maximum(d, 0.0, out=d)
+            else:
+                d = 1.0 - Qb @ Vb.T
+            d = d.astype(np.float64, copy=False)
+            part = _canonical_row_topnv(d, rp_hash[vlo : vlo + v_block], nv)
+            cd = np.take_along_axis(d, part, axis=1)
+            ci = part + vlo
+            ch = rp_hash[ci]
+            # merge running best with this block's candidates: one row-wise
+            # (dist, rp_hash) lexsort over ≤ 2·nv columns
+            ad = np.concatenate([best_d, cd], axis=1)
+            ah = np.concatenate([best_h, ch], axis=1)
+            ai = np.concatenate([best_i, ci], axis=1)
+            o = np.lexsort((ah, ad), axis=-1)[:, :nv]
+            best_d = np.take_along_axis(ad, o, axis=1)
+            best_h = np.take_along_axis(ah, o, axis=1)
+            best_i = np.take_along_axis(ai, o, axis=1)
+        out_idx[qlo : qlo + q_block] = best_i
+        out_dist[qlo : qlo + q_block] = best_d
+    return out_idx, out_dist
+
+
+def _collect_routing_table(routing_points: DataFrame):
+    """(shards, vecs, rp_hash) arrays of the whole routing-point table, with
+    the Spark-side xxhash64(shard, vec) tie-key attached — the SAME key the
+    distributed path computes per partition, so tie-breaks agree."""
+    pdf = (
+        routing_points.select("shard", "vec")
+        .withColumn("_rp", F.xxhash64("shard", "vec"))
+        .toPandas()
+    )
     shards = pdf["shard"].to_numpy().astype(np.int64)
-    vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-    return shards, vecs
+    vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64) if len(pdf) else np.zeros((0, 1))
+    rp_hash = pdf["_rp"].to_numpy().astype(np.int64)
+    return shards, vecs, rp_hash
 
 
 def score_routing_points(
@@ -86,40 +198,66 @@ def score_routing_points(
     metric: str = "l2",
     q_id_col: str = "query_id",
     q_vec_col: str = "vec",
+    score_dtype: str = "float64",
+    max_broadcast_rows: int = MAX_BROADCAST_ROUTING_POINTS,
+    budget_bytes: int = SCORE_BUDGET_BYTES,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """Broadcast top-k scoring of queries against the routing-point table.
+    """Top-k scoring of queries against the routing-point table.
 
     ≙ HNSWRouter::Query (hnsw_router.h:106-119) + shard-membership lookup
     (:112-117): for each query take the ``num_voting`` nearest routing
-    points, then per (query, shard) emit min distance and hit count.
-    Returns ``(query_id, shard, min_dist, votes)``.
+    points (ties at the boundary broken by xxhash64(shard, vec) — canonical
+    across partition layouts), then per (query, shard) emit min distance and
+    hit count. Returns ``(query_id, shard, min_dist, votes)``.
+
+    Two physical strategies with bit-identical output:
+
+    - **broadcast** (routing table ≤ ``max_broadcast_rows``): collect +
+      broadcast the table, one blocked mapInPandas pass over the queries.
+    - **distributed** (above the threshold, ≙ the reference's 1M–10M router
+      budgets, routes.cpp:130): the routing table STAYS a DataFrame; the
+      query batch (bounded — an evaluation batch, ~MBs) is broadcast
+      instead, each routing partition emits its local top-``num_voting``
+      candidates per query, and a Catalyst window + aggregation merges them
+      globally. Shuffle volume is nq × num_voting × n_partitions compact
+      rows — never a distance matrix.
+
+    All distance blocks are two-axis bounded to ``budget_bytes`` (64 MB);
+    ``score_dtype="float32"`` halves block memory/bandwidth at scale (rank
+    changes only within float32 epsilon — keep float64 when an oracle
+    compares ranks).
     """
+    if metric not in VALID_METRICS:
+        raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
     spark = queries.sparkSession
-    shards, vecs = _routing_matrix(routing_points)
-    bc = spark.sparkContext.broadcast((shards, vecs))
+    dtype = np.float32 if score_dtype == "float32" else np.float64
+    if distributed is None:
+        distributed = routing_points.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
+    if distributed:
+        return _score_routing_points_distributed(
+            queries, routing_points, num_voting, metric, q_id_col, q_vec_col, dtype, budget_bytes
+        )
+    shards, vecs, rp_hash = _collect_routing_table(routing_points)
+    bc = spark.sparkContext.broadcast((shards, vecs, rp_hash))
     schema = f"{q_id_col} long, shard int, min_dist double, votes long"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sh, V = bc.value
+        sh, V, H = bc.value
         nv = min(num_voting, len(sh))
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or nv == 0:
                 continue
-            Q = np.stack(pdf[q_vec_col].to_numpy()).astype(np.float64)
-            dists = distance_matrix(Q, V, metric)  # (nq, n_routing)
-            if nv < dists.shape[1]:
-                idx = np.argpartition(dists, nv - 1, axis=1)[:, :nv]
-            else:
-                idx = np.tile(np.arange(dists.shape[1]), (len(Q), 1))
+            Q = np.stack(pdf[q_vec_col].to_numpy())
+            idx, dists = _score_block_topnv(Q, V, H, nv, metric, budget_bytes, dtype)
             qids = pdf[q_id_col].to_numpy()
             # vectorized (query, shard) reduction — one groupby per Arrow
             # batch instead of a Python loop per query
-            nv_eff = idx.shape[1]
             flat = pd.DataFrame(
                 {
-                    q_id_col: np.repeat(qids, nv_eff),
+                    q_id_col: np.repeat(qids, idx.shape[1]),
                     "shard": sh[idx.ravel()].astype(np.int32),
-                    "min_dist": np.take_along_axis(dists, idx, axis=1).ravel(),
+                    "min_dist": dists.ravel(),
                 }
             )
             out = flat.groupby([q_id_col, "shard"], sort=False, as_index=False).agg(
@@ -128,6 +266,84 @@ def score_routing_points(
             yield out[[q_id_col, "shard", "min_dist", "votes"]]
 
     return queries.select(q_id_col, q_vec_col).mapInPandas(score, schema=schema)
+
+
+def _score_routing_points_distributed(
+    queries: DataFrame,
+    routing_points: DataFrame,
+    num_voting: int,
+    metric: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dtype,
+    budget_bytes: int,
+) -> DataFrame:
+    """Large-routing-table path: broadcast the query batch, keep the routing
+    points distributed. Each routing partition computes its local
+    top-``num_voting`` per query (blocked kernel); a window + aggregation
+    finishes the global top-k — the standard distributed-top-k shape, sized
+    so no task ever holds more than one 64 MB distance block."""
+    spark = queries.sparkSession
+    qpdf = queries.select(q_id_col, q_vec_col).toPandas()
+    qids = qpdf[q_id_col].to_numpy().astype(np.int64)
+    Q = np.stack(qpdf[q_vec_col].to_numpy()).astype(np.float64) if len(qpdf) else np.zeros((0, 1))
+    bc = spark.sparkContext.broadcast((qids, Q))
+    part_schema = f"{q_id_col} long, shard int, dist double, rp long"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, Qm = bc.value
+        if len(ids) == 0:
+            return
+        # running per-query top-nv ACROSS the partition's Arrow batches —
+        # one candidate set per partition, not per batch
+        best_d = best_h = best_s = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy())
+            H = pdf["_rp"].to_numpy().astype(np.int64)
+            sh = pdf["shard"].to_numpy().astype(np.int64)
+            nv = min(num_voting, len(V))
+            idx, d = _score_block_topnv(Qm, V, H, nv, metric, budget_bytes, dtype)
+            h, s = H[idx], sh[idx]
+            pad = idx < 0
+            if pad.any():
+                d[pad], h[pad], s[pad] = np.inf, _PAD_HASH, -1
+            if best_d is None:
+                best_d, best_h, best_s = d, h, s
+            else:
+                ad = np.concatenate([best_d, d], axis=1)
+                ah = np.concatenate([best_h, h], axis=1)
+                as_ = np.concatenate([best_s, s], axis=1)
+                o = np.lexsort((ah, ad), axis=-1)[:, : min(num_voting, ad.shape[1])]
+                best_d = np.take_along_axis(ad, o, axis=1)
+                best_h = np.take_along_axis(ah, o, axis=1)
+                best_s = np.take_along_axis(as_, o, axis=1)
+        if best_d is None:
+            return
+        valid = np.isfinite(best_d)
+        nq_rep = valid.sum(axis=1)
+        yield pd.DataFrame(
+            {
+                q_id_col: np.repeat(ids, nq_rep),
+                "shard": best_s[valid].astype(np.int32),
+                "dist": best_d[valid],
+                "rp": best_h[valid],
+            }
+        )
+
+    cand = (
+        routing_points.select("shard", "vec")
+        .withColumn("_rp", F.xxhash64("shard", "vec"))
+        .mapInPandas(partial, schema=part_schema)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("dist").asc(), F.col("rp").asc())
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= num_voting)
+        .groupBy(q_id_col, "shard")
+        .agg(F.min("dist").alias("min_dist"), F.count(F.lit(1)).alias("votes"))
+    )
 
 
 def probe_order(

@@ -180,3 +180,103 @@ def test_uniform_sample_router_baseline(spark, setup):
     )
     r_rand = R.first_shard_recall(gt, assignment, rand_routes, 10, nq)
     assert r_sample > r_rand  # 64 of 160 points sampled: far better than random
+
+
+# ---------------------------------------------------- blocked scoring kernel
+@pytest.fixture(scope="module")
+def score_fixture(spark):
+    """Routing table with cross-shard duplicate vectors (so the canonical
+    (dist, xxhash64) tie-break actually fires at the num_voting boundary)."""
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(300, 8))
+    V[250:] = V[:50]  # 50 exact duplicates, different rows/shards
+    sh = rng.integers(0, 6, 300)
+    rp = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in zip(sh, V)],
+        "shard int, vec array<double>",
+    ).cache()
+    Q = rng.normal(size=(40, 8))
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(Q)],
+        "query_id long, vec array<double>",
+    ).cache()
+    return rp, qs, Q
+
+
+def _score_map(df):
+    return {(r["query_id"], r["shard"]): (r["min_dist"], r["votes"]) for r in df.collect()}
+
+
+def test_score_blocked_matches_straightline_oracle(spark, score_fixture):
+    """The two-axis-blocked kernel must select the SAME top-nv routing points
+    as a per-query straight-line pass (ties by the Spark-side xxhash64 key).
+    min_dist may carry last-ulp noise (different BLAS block shapes reorder
+    the d-dim reduction), so selection/votes are exact and values ~1e-12."""
+    rp, qs, Q = score_fixture
+    nv = 25
+    got = _score_map(RT.score_routing_points(qs, rp, num_voting=nv))
+    shards, vecs, H = RT._collect_routing_table(rp)
+    want = {}
+    for i, q in enumerate(Q):
+        # same |q|²+|v|²-2⟨q,v⟩ identity as the kernel — a direct
+        # (q-v)² oracle differs by ~1e-13 per value, enough to swap
+        # near-boundary candidates and fail the exact-selection assert
+        d = np.maximum((q @ q) + (vecs * vecs).sum(1) - 2.0 * (vecs @ q), 0.0)
+        for j in np.lexsort((H, d))[:nv]:
+            s = int(shards[j])
+            md, v = want.get((i, s), (np.inf, 0))
+            want[(i, s)] = (min(md, d[j]), v + 1)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][1] == want[k][1]  # exact same selection per shard
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-12)
+
+
+def test_score_tiny_blocks_same_selection(spark, score_fixture):
+    """budget_bytes=2048 forces many blocks on both axes — selection and
+    votes must not depend on the blocking."""
+    rp, qs, _ = score_fixture
+    a = _score_map(RT.score_routing_points(qs, rp, num_voting=25))
+    b = _score_map(RT.score_routing_points(qs, rp, num_voting=25, budget_bytes=2048))
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][1] == b[k][1]
+        assert a[k][0] == pytest.approx(b[k][0], abs=1e-12)
+
+
+def test_score_distributed_bit_identical_to_broadcast(spark, score_fixture):
+    """The distributed (large-routing-table) path is bit-identical to the
+    broadcast path at the same block budget — same per-partition kernel,
+    same canonical tie-break, Catalyst-side global merge."""
+    rp, qs, _ = score_fixture
+    a = sorted(tuple(r) for r in RT.score_routing_points(qs, rp, num_voting=25).collect())
+    b = sorted(
+        tuple(r)
+        for r in RT.score_routing_points(
+            qs, rp.repartition(7), num_voting=25, distributed=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_score_distributed_auto_threshold(spark, score_fixture):
+    """max_broadcast_rows below the table size must auto-select the
+    distributed path and still agree with the broadcast path."""
+    rp, qs, _ = score_fixture
+    a = sorted(tuple(r) for r in RT.score_routing_points(qs, rp, num_voting=10).collect())
+    b = sorted(
+        tuple(r)
+        for r in RT.score_routing_points(qs, rp, num_voting=10, max_broadcast_rows=50).collect()
+    )
+    assert a == b
+
+
+def test_score_float32_ranks_close(spark, score_fixture):
+    """float32 scoring (the at-scale bandwidth option) keeps per-shard vote
+    totals within 1 of float64 and min_dist within float32 epsilon."""
+    rp, qs, _ = score_fixture
+    a = _score_map(RT.score_routing_points(qs, rp, num_voting=25))
+    b = _score_map(RT.score_routing_points(qs, rp, num_voting=25, score_dtype="float32"))
+    for k in set(a) & set(b):
+        assert abs(a[k][1] - b[k][1]) <= 1
+        assert a[k][0] == pytest.approx(b[k][0], rel=1e-4, abs=1e-4)

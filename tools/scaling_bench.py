@@ -37,6 +37,9 @@ N_QUERIES = 8_000
 N_KNN_POINTS = 600_000
 N_EDGES_V = 4_000_000
 PR_ITERS = 4
+N_ROUTING = 1_000_000  # > MAX_BROADCAST_ROUTING_POINTS → the distributed
+# blocked cross-score path (≙ the reference's 1M router budget, routes.cpp:130)
+N_ROUTING_QUERIES = 2_000
 
 
 def synthetic_points(spark, n, dim=64, seed=7):
@@ -135,6 +138,29 @@ def run_stage(cpus: int) -> dict[str, float]:
         lambda: SRCH.probe_shards(sp, qs2, routes, k=10, in_shard="ivf", ef=200).count()
     )
     out["ann_probe_queries_per_s"] = N_QUERIES / out["ann_probe_sec"]
+
+    # 5. large-budget routing: 1M routing points × 2k queries through the
+    # DISTRIBUTED blocked cross-score (no driver/broadcast copy of the
+    # routing table, every distance block ≤64 MB, float32 scoring — the
+    # configuration the reference's big router-budget sweep needs)
+    from gp_ann_spark.operators import routing as RTG
+
+    rp = (
+        synthetic_points(spark, N_ROUTING, seed=31)
+        .select(F.pmod("id", F.lit(16)).cast("int").alias("shard"), "vec")
+        .repartition(n_parts)
+        .cache()
+    )
+    rp.count()
+    rq = synthetic_points(spark, N_ROUTING_QUERIES, seed=77).select(
+        F.col("id").alias("query_id"), "vec"
+    )
+    out["routing_sec"] = timed_min(
+        lambda: RTG.score_routing_points(
+            rq, rp, num_voting=20, distributed=True, score_dtype="float32"
+        ).count()
+    )
+    out["routing_queries_per_s"] = N_ROUTING_QUERIES / out["routing_sec"]
     out["n_points"] = n_pts
     out["n_edges"] = n_edges
     spark.stop()
@@ -159,7 +185,7 @@ def main() -> None:
     lo, hi = LEVELS
     factor = hi // lo
     report = {"levels": results, "efficiency": {}, "factor": factor}
-    for metric in ("featurize_sec", "knn_sec", "pagerank_sec", "ann_probe_sec"):
+    for metric in ("featurize_sec", "knn_sec", "pagerank_sec", "ann_probe_sec", "routing_sec"):
         t_lo, t_hi = results[lo][metric], results[hi][metric]
         report["efficiency"][metric.replace("_sec", "")] = round(t_lo / (factor * t_hi), 3)
     print(json.dumps(report, indent=2))
