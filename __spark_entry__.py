@@ -692,17 +692,29 @@ _ANN_GATE_NQ = 50  # query cap shared by q_ann_shard_invariants and its oracle
 
 def q_ann_shard_invariants(spark, sf_dir):
     """Sublinear in-shard ANN kernel gate (≙ InvertedIndexHNSW,
-    inverted_index_hnsw.h:10-78, ef sweep shard_searches.cpp:13): (a) at
-    full candidate budget the IVF probe must equal the exact in-shard probe
-    EXACTLY (every cell scanned → brute force); (b) recall vs the exact
-    search is monotone in ef (candidate sets are nested by construction);
-    (c) at ef=200 the kernel reaches the declared recall floor (≥0.9 — the
-    HNSW-class regime; the 20k-point-shard evidence for the same floor is
-    tests/test_ivf_shard.py::test_ivf_recall_floor_large_shard) on the
-    embeddings table. Exhaustive routes isolate the kernel from routing."""
+    inverted_index_hnsw.h:10-78, ef sweep shard_searches.cpp:13) on ONE
+    merged shard holding every embedding — so every ef budget below is
+    genuinely partial (the r4 gate probed ≤59-point label shards where
+    ef=200 meant a full scan and two booleans were vacuously true):
+
+    (a) at full candidate budget the IVF probe equals the exact in-shard
+        probe EXACTLY (every cell scanned → brute force);
+    (b) recall vs the exact search is monotone in the ef sweep;
+    (c) at ef = 2n/5 the kernel reaches the ≥0.9 recall floor (the
+        HNSW-class regime; the 1%-budget evidence at 20k-point shards is
+        tests/test_ivf_shard.py::test_ivf_recall_floor_large_shard, and the
+        ≥2M-point datapoint is BENCH.md);
+    (d) at ef = n/10 recall is measurably < 1.0 — the probe really is
+        partial, i.e. this gate cannot silently go vacuous again.
+
+    Budgets scale with the table (n/10, n/5, 2n/5) so the same contract
+    bites at sf0.001 (n=500: 0.69/0.84/0.95), sf0.01 (0.65/0.80/0.93) and
+    sf0.1 (n=2000: 0.66/0.82/0.95). Exhaustive single-shard routes isolate
+    the kernel from routing."""
     emb = _emb(spark, sf_dir)
     pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).localCheckpoint(eager=True)
-    cells = emb.select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
+    n = pts.count()
+    cells = pts.select("id", F.lit(0).cast("int").alias("shard"))
     # deterministic predicate, not limit() (partition-order dependent — the
     # 0.9 floor leaves far less margin than the old 0.55 for an unlucky
     # layout-dependent sample)
@@ -711,11 +723,12 @@ def q_ann_shard_invariants(spark, sf_dir):
         .where(F.col("query_id") < _ANN_GATE_NQ)
         .localCheckpoint(eager=True)
     )
-    n_shards = cells.agg(F.max("shard")).collect()[0][0] + 1
-    shards = F.broadcast(spark.createDataFrame([(int(s),) for s in range(n_shards)], "shard int"))
-    routes = qs.select("query_id").crossJoin(shards).withColumn(
-        "probe_rank", F.col("shard") + 1
-    ).localCheckpoint(eager=True)
+    routes = (
+        qs.select("query_id")
+        .withColumn("shard", F.lit(0))
+        .withColumn("probe_rank", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
     sp = S.shard_points(pts, cells).localCheckpoint(eager=True)
 
     def hits(in_shard, ef):
@@ -730,18 +743,21 @@ def q_ann_shard_invariants(spark, sf_dir):
     diff_full = (
         exact.exceptAll(full).count() + full.exceptAll(exact).count()
     )
+    ef_lo, ef_mid, ef_hi = max(1, n // 10), max(2, n // 5), max(3, 2 * n // 5)
     recalls = {}
-    for ef in (50, 200, 400):
+    for ef in (ef_lo, ef_mid, ef_hi):
         got = hits("ivf", ef)
         recalls[ef] = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count() / n_exact
     return spark.createDataFrame(
         [(
             int(n_exact),
             bool(diff_full == 0),
-            bool(recalls[50] <= recalls[200] + 1e-9 and recalls[200] <= recalls[400] + 1e-9),
-            bool(recalls[200] >= 0.9),
+            bool(recalls[ef_lo] <= recalls[ef_mid] + 1e-9 and recalls[ef_mid] <= recalls[ef_hi] + 1e-9),
+            bool(recalls[ef_hi] >= 0.9),
+            bool(recalls[ef_lo] < 1.0 - 1e-9),
         )],
-        "n_exact_hits long, exact_at_full_budget boolean, recall_monotone_in_ef boolean, recall_floor_ef200 boolean",
+        "n_exact_hits long, exact_at_full_budget boolean, recall_monotone_in_ef boolean, "
+        "recall_floor_high_budget boolean, partial_probe_at_low_budget boolean",
     )
 
 
@@ -1177,9 +1193,10 @@ def oracle_sql() -> dict[str, str]:
         # constants interpolated from the SAME K / query cap the Spark side
         # uses, so a change to either cannot silently desynchronize the gate
         "ann_shard_invariants": (
-            f"SELECT least({_ANN_GATE_NQ}, count(*)) * least({K}, count(*)) AS n_exact_hits, "
+            f"SELECT least({_ANN_GATE_NQ}, count(*)) * least({K}, count(*) - 1) AS n_exact_hits, "
             "true AS exact_at_full_budget, true AS recall_monotone_in_ef, "
-            "true AS recall_floor_ef200 FROM embeddings"
+            "true AS recall_floor_high_budget, true AS partial_probe_at_low_budget "
+            "FROM embeddings"
         ),
         # full value oracle for the multimodal feature path: synth_media's
         # payload is CAST(sha2(id||':42',256) AS BINARY) — i.e. the UTF-8
