@@ -243,3 +243,65 @@ def test_cli_small_scale_queries(spark, pts_file, tmp_path, capsys):
     full = [r for r in rows if r["shard query"] == "BruteForce" and r["probes"] == "3"]
     assert full and all(float(r["recall"]) >= 0.999 for r in full)
     assert all(float(r["latency"]) > 0 for r in rows)
+
+
+def test_small_scale_experiments_grid(spark, pts_file, tmp_path, capsys):
+    """Grid driver parity (reference small-scale-experiments.py:27-61):
+    Partition then SmallScaleQueries across (dataset x method x shards),
+    with the reference's artifact naming — the loop the round-3/4 briefs
+    flagged as the missing grid."""
+    import csv
+    import os
+
+    import small_scale_experiments as SSE
+
+    out = str(tmp_path / "exp_outputs")
+    rc = SSE.main(
+        [
+            "--data-path", os.path.dirname(pts_file),
+            "--dataset", f"toy={os.path.basename(pts_file)}:L2",
+            "--methods", "KMeans,RKM",
+            "--shards", "3",
+            "--k", "5",
+            "--preset", "default",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    # partition artifacts + shared binary GT in the reference's naming
+    for m in ("KMeans", "RKM"):
+        assert os.path.exists(f"{out}/toy.partition.k=3.{m}.parquet")
+        assert os.path.exists(f"{out}/toy.{m}.k=3.csv")
+    import struct
+
+    with open(f"{out}/toy.ground_truth.bin", "rb") as f:
+        nq, k = struct.unpack("<II", f.read(8))
+    assert (nq, k) == (90, 5)
+    # each CSV carries the reference's sweep: 2 routers x 2 kernels x 3 probes
+    for m in ("KMeans", "RKM"):
+        with open(f"{out}/toy.{m}.k=3.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 12
+        full = [r for r in rows if r["shard query"] == "BruteForce" and r["probes"] == "3"]
+        assert full and all(float(r["recall"]) >= 0.999 for r in full)
+
+    # --skip-partition reuses the partitions (≙ the commented-out
+    # compute_all_partitions call, :64) without recomputing them
+    t0 = os.path.getmtime(f"{out}/toy.partition.k=3.KMeans.parquet")
+    rc = SSE.main(
+        [
+            "--data-path", os.path.dirname(pts_file),
+            "--dataset", f"toy={os.path.basename(pts_file)}:L2",
+            "--methods", "KMeans",
+            "--shards", "3",
+            "--k", "5",
+            "--skip-partition",
+            "--out", out,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.getmtime(f"{out}/toy.partition.k=3.KMeans.parquet") == t0
