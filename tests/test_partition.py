@@ -151,3 +151,79 @@ def test_bucket_size_stats(spark):
     r = KA.bucket_size_stats(bucketed).collect()[0]
     assert r["n_buckets"] == 4 and abs(r["avg_size"] - 10.0) < 1e-9
     assert r["quantiles"][0] == 10.0 and r["quantiles"][-1] == 10.0
+
+
+def test_initial_partition_packs_disconnected_components(spark):
+    """Regression for the greedy-grower reseed fix: on a graph whose
+    components are much smaller than n/num_shards, every shard must be
+    packed with WHOLE components (cut 0), not one component plus scattered
+    leftovers — the pre-fix grower stopped at the first exhausted frontier
+    and the leftover loop scattered all later components vertex-by-vertex
+    (measured 0.23 cut on a 16-ring fixture where 0.03 was achievable)."""
+    el = []
+    for c in range(12):  # 12 disjoint K8 cliques, 96 vertices
+        base = c * 8
+        for i in range(8):
+            for j in range(i + 1, 8):
+                el.append((base + i, base + j, 1.0))
+    edges = make_edges_df(spark, el)
+    asn_df = P.graph_partition(edges, 4, coarse_target=200)  # no coarsening
+    asn = {r["id"]: r["shard"] for r in asn_df.collect()}
+    assert len(asn) == 96
+    assert P.imbalance(asn_df, 4) <= 1.05 + 1e-9
+    assert cut_weight(el, asn) == 0.0
+    for c in range(12):  # every clique lands whole
+        assert len({asn[c * 8 + i] for i in range(8)}) == 1
+
+
+def test_gp_beats_kmeans_on_manifold_rings(spark):
+    """The reference's headline ordering (README.md:1, arXiv:2403.01797 §5)
+    on the concentric-ring manifold fixture: convex k-means cells must cut
+    rings, graph partitioning packs them — GP wins on k-NN edge cut, on
+    sampled-router first-shard recall, and on oracle first-shard recall.
+    Mirrors the driver gate (q_gp_vs_kmeans_manifold) with the concrete
+    seed-7 margins pinned."""
+    from gp_ann_spark.fixtures import manifold_rings
+    from gp_ann_spark.operators import knn as KNN
+    from gp_ann_spark.operators import routing as RT
+    from gp_ann_spark.eval import recall as R
+
+    X, ringlab = manifold_rings()
+    n = len(X)
+    pts = make_points_df(spark, X).cache()
+    qs = (
+        pts.where(F.col("id") % (n // 128) == 0)
+        .select(F.col("id").alias("query_id"), "vec")
+        .localCheckpoint(eager=True)
+    )
+    nq = qs.count()
+    gt = R.ground_truth(pts, qs, k=10).localCheckpoint(eager=True)
+    edges = KNN.symmetrize(KNN.knn_edges(pts, k=10)).localCheckpoint(eager=True)
+    ep = edges.toPandas()
+    # the geometry premise: the k-NN graph is ring-separable (<2% bridges)
+    bridges = (ringlab[ep["src"].to_numpy()] != ringlab[ep["dst"].to_numpy()]).mean()
+    assert bridges < 0.02
+
+    gp = P.graph_partition(edges, 8).localCheckpoint(eager=True)
+    km = P.kmeans_partition(pts, 8).localCheckpoint(eager=True)
+
+    def stats(asn):
+        a = {r["id"]: r["shard"] for r in asn.collect()}
+        sh = np.array([a[i] for i in range(n)])
+        cut = (sh[ep["src"].to_numpy()] != sh[ep["dst"].to_numpy()]).mean()
+        routes = RT.uniform_sample_router(qs, pts, asn, budget=512)
+        samp = R.first_shard_recall(gt, asn, routes, 10, nq)
+        orc = R.first_shard_recall(gt, asn, R.oracle_probe_order(gt, asn), 10, nq)
+        return cut, samp, orc
+
+    gp_cut, gp_s, gp_o = stats(gp)
+    km_cut, km_s, km_o = stats(km)
+    assert P.imbalance(gp, 8) <= 1.05 + 1e-9
+    assert P.imbalance(km, 8) <= 1.05 + 1e-9
+    # GP finds a near-zero-cut packing; k-means cannot (convex cells)
+    assert gp_cut < 0.03 < km_cut < 0.10
+    assert gp_cut <= 0.75 * km_cut
+    # ...and the cut advantage is visible end-to-end through routing
+    assert gp_s >= km_s + 0.02
+    assert gp_o >= km_o + 0.005
+    pts.unpersist()
