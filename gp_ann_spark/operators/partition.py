@@ -233,10 +233,15 @@ def coarsen_graph(
 
 def _initial_partition_driver(
     edge_pdf, weight_pdf, num_shards: int, eps: float, seed: int = SEED,
+    restarts: int = 8,
 ) -> dict[int, int]:
-    """Driver-local balanced partition of the coarse graph: greedy graph
-    growing + boundary refinement in NumPy (the small-graph analogue of the
-    reference's KaMinPar call, partitioning.cpp:189)."""
+    """Driver-local balanced partition of the coarse graph: multi-restart
+    greedy graph growing + boundary refinement in NumPy (the small-graph
+    analogue of the reference's KaMinPar call, partitioning.cpp:189).
+    ``restarts`` seeded growths run and the minimum-cut one wins — the
+    coarse graph is ≤ coarse_target vertices, so each restart is
+    milliseconds while the growth order is the partitioner's main source
+    of variance."""
     ids = weight_pdf["id"].to_numpy()
     wts = weight_pdf["w"].to_numpy().astype(np.int64)
     idx = {v: i for i, v in enumerate(ids)}
@@ -249,17 +254,37 @@ def _initial_partition_driver(
         adj[i][j] = adj[i].get(j, 0.0) + w
         adj[j][i] = adj[j].get(i, 0.0) + w
     cap = (1.0 + eps) * wts.sum() / num_shards
-    part = np.full(n, -1, dtype=np.int64)
-    loads = np.zeros(num_shards)
-    order = np.argsort(-wts, kind="stable")  # heavy vertices first
-    rng = np.random.default_rng(seed)
-    # greedy growing: seed each shard with the next heaviest unassigned
-    # vertex, then repeatedly add the unassigned vertex with max affinity.
-    # Gains are maintained INCREMENTALLY with a lazy max-heap — recomputing
-    # the whole frontier per placement is O(n²·deg) and stalls for minutes
-    # at coarse graphs ≥ 4k vertices.
+    base_order = np.argsort(-wts, kind="stable")  # heavy vertices first
+    best_part, best_key = None, None
+    for r in range(max(1, restarts)):
+        rng = np.random.default_rng(seed + r)
+        if r == 0:
+            order = base_order
+        else:
+            # diversify growth: shuffle, then re-sort heavy-first (stable)
+            # so equal-weight vertices appear in a seed-dependent order
+            perm = rng.permutation(n)
+            order = perm[np.argsort(-wts[perm], kind="stable")]
+        part, loads = _grow_once(adj, wts, order, num_shards, cap, rng)
+        cut = sum(
+            w for i in range(n) for j, w in adj[i].items() if i < j and part[i] != part[j]
+        )
+        key = (cut, float(loads.max()), r)  # min cut, then balance, then order
+        if best_key is None or key < best_key:
+            best_part, best_key = part, key
+    return {int(v): int(p) for v, p in zip(ids, best_part)}
+
+
+def _grow_once(adj, wts, order, num_shards: int, cap: float, rng):
+    """One seeded greedy growth + boundary refinement pass; returns
+    (part, loads). Gains are maintained INCREMENTALLY with a lazy max-heap —
+    recomputing the whole frontier per placement is O(n²·deg) and stalls
+    for minutes at coarse graphs ≥ 4k vertices."""
     import heapq
 
+    n = len(wts)
+    part = np.full(n, -1, dtype=np.int64)
+    loads = np.zeros(num_shards)
     target_load = wts.sum() / num_shards
     for s in range(num_shards):
         gains: dict[int, float] = {}
@@ -325,7 +350,7 @@ def _initial_partition_driver(
                 moved += 1
         if moved == 0:
             break
-    return {int(v): int(p) for v, p in zip(ids, part)}
+    return part, loads
 
 
 def refine_partition(
