@@ -437,6 +437,13 @@ def graph_partition(
     for lab in reversed(maps):
         asn = lab.join(asn, "label").select(F.col("id").alias("label"), "shard")
     asn = asn.select(F.col("label").alias("id"), "shard")
+    if not maps:
+        # no coarsening happened (n ≤ coarse_target): the driver pass just
+        # partitioned AND boundary-refined the full-resolution graph, so the
+        # DataFrame refinement rounds would re-walk the same moves as pure
+        # Spark-job latency (~2/3 of graph_partition wall time at bench
+        # scale). Multilevel inputs still refine below.
+        return asn
     n = asn.count()
     cap = max_cluster_size(n, num_shards, eps)
     return refine_partition(edges, asn, cap, rounds=refine_rounds)
