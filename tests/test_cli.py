@@ -305,3 +305,35 @@ def test_small_scale_experiments_grid(spark, pts_file, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
     assert os.path.getmtime(f"{out}/toy.partition.k=3.KMeans.parquet") == t0
+
+
+def test_cli_distributed_bench(spark, pts_file, tmp_path, capsys):
+    """End-to-end distributed-serving parity (distributed_bench.cpp:13-62):
+    partition -> sampled router (built-or-read) -> top-2 probes -> in-shard
+    search -> merged top-k, end-to-end time + recall."""
+    import json as _json
+    import os
+
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+    capsys.readouterr()
+    gt = str(tmp_path / "gt.bin")
+    router = str(tmp_path / "router.parquet")
+    CLI.main(
+        ["distributed-bench", pts_file, pts_file, gt, "5", f"{out}.k=3.KMeans.parquet", router],
+        spark=spark,
+    )
+    printed = capsys.readouterr().out
+    assert "End-to-end time " in printed
+    rep = _json.loads(printed.strip().splitlines()[-1])
+    assert rep["n_queries"] == 90 and rep["num_probes"] == 2
+    # self-queries on 3 well-separated blobs: 2 probes recover nearly all
+    assert rep["recall"] >= 0.95
+    assert os.path.isdir(router)
+    # second run reads the router file back (no rebuild) and reproduces
+    CLI.main(
+        ["distributed-bench", pts_file, pts_file, gt, "5", f"{out}.k=3.KMeans.parquet", router],
+        spark=spark,
+    )
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["recall"] == rep["recall"]

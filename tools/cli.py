@@ -19,6 +19,10 @@ of the reference can run the same commands against this engine.
         experiment — KMTR + HNSW-style routing × exact/sublinear in-shard
         kernels × nprobes, CSV in the reference's column layout; without a
         partition, a global sublinear-index ef sweep.
+    python tools/cli.py distributed-bench <points> <queries> <gt> <k> <partition> <router.parquet>
+        (distributed_bench.cpp:13-62): end-to-end distributed serving —
+        sampled-router top-2 probes (num_voting 250), in-shard search at
+        ef 250, merged top-k; prints "End-to-end time <s>" + recall JSON.
     python tools/cli.py convert <in.fbin|in.parquet> <out.parquet|out.fbin>
         (convert.cpp): point-format conversion + duplicate diagnostic for
         `.clusters` inputs.
@@ -304,6 +308,85 @@ def cmd_small_scale_queries(spark, args):
                     )
 
 
+def cmd_distributed_bench(spark, args):
+    """≙ DistributedBench (distributed_bench.cpp:13-62 over
+    distributed_query_benchmark.h): the end-to-end distributed serving
+    benchmark — load partition, build the per-shard index, route every
+    query to its top-2 shards via sampled routing points (num_voting 250,
+    num_probes 2, :34-36), search in-shard (ef_search 250, defs.h:55),
+    merge, and report the end-to-end wall time plus recall@k.
+
+        distributed-bench <points> <queries> <gt-file> <k> <partition-file> <router-file>
+
+    The reference spreads shards over MPI ranks and queries over hosts; the
+    Spark form is route → cogrouped probe → merge, where every (shard,
+    query-block) task is a rank's work item. ``router-file`` is the routing
+    point table (shard, vec) as parquet — read if present, else built as
+    the seed-420 uniform sample (≙ the sampled HNSW router the reference
+    loads from its router file) and written there, like this CLI's
+    compute-or-read ground truth."""
+    import time as _time
+
+    from gp_ann_spark.operators import search as SRCH
+
+    points_path, queries_path, gt_file, k_s, part_file, router_file = args[:6]
+    k = int(k_s)
+    metric = _metric()
+    pts = _load_points(spark, points_path).cache()
+    n = pts.count()
+    qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    nq = qs.count()
+    if os.path.exists(gt_file) or os.path.isdir(gt_file):
+        gt = IO.read_ground_truth(spark, gt_file)
+    else:
+        gt = R.ground_truth(pts, qs, k=k, metric=metric)
+        if gt_file.endswith(".bin"):
+            IO.write_ground_truth_bin(gt, gt_file)
+        else:
+            IO.write_ground_truth(gt, gt_file)
+    gt = gt.localCheckpoint(eager=True)
+    cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
+    cover = cover.localCheckpoint(eager=True)
+    if os.path.isdir(router_file):
+        rp = spark.read.parquet(router_file)
+    else:
+        budget = min(n, max(1000, n // 10))
+        rp = (
+            pts.select("id", "vec")
+            .orderBy(F.xxhash64("id", F.lit(420)))
+            .limit(int(budget))
+            .join(cover, "id")
+            .select("shard", "vec")
+        )
+        rp.write.mode("overwrite").parquet(router_file)
+        rp = spark.read.parquet(router_file)
+    # index build happens inside the probe tasks; materialize the shard
+    # tables up front like BuildInShardIndex so the timed section is serving
+    sp = SRCH.shard_points(pts, cover).localCheckpoint(eager=True)
+
+    t0 = _time.perf_counter()
+    routes = (
+        RT.probe_order(
+            RT.score_routing_points(qs, rp, num_voting=250, metric=metric),
+            policy="min_dist",
+        )
+        .where(F.col("probe_rank") <= 2)  # num_probes = 2 (:36)
+        .localCheckpoint(eager=True)
+    )
+    res = SRCH.merge_results(
+        SRCH.probe_shards(sp, qs, routes, k=k, in_shard="ivf", ef=250), k=k
+    ).localCheckpoint(eager=True)
+    elapsed = _time.perf_counter() - t0
+
+    hits = res.select("query_id", "neighbor_id").join(
+        gt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    recall = hits / (nq * k)
+    print(f"End-to-end time {elapsed:.4f}")
+    print(json.dumps({"recall": round(recall, 4), "n_queries": nq, "k": k,
+                      "num_probes": 2, "elapsed_s": round(elapsed, 4)}))
+
+
 def cmd_convert(spark, args):
     src, dst = args[0], args[1]
     if src.endswith(".clusters"):
@@ -324,6 +407,7 @@ COMMANDS = {
     "oracle-recall": cmd_oracle_recall,
     "graph-quality-bench": cmd_graph_quality_bench,
     "small-scale-queries": cmd_small_scale_queries,
+    "distributed-bench": cmd_distributed_bench,
     "convert": cmd_convert,
 }
 
