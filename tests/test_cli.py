@@ -337,3 +337,39 @@ def test_cli_distributed_bench(spark, pts_file, tmp_path, capsys):
     )
     rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["recall"] == rep["recall"]
+
+
+def test_cli_analyze_approximation_losses(spark, pts_file, tmp_path, capsys):
+    """Routing-loss decomposition parity (analyze_approximation_losses.cpp:
+    159-237): all four routing arms emit monotone recall-vs-probes curves in
+    the reference's CSV layout."""
+    import csv
+
+    out = str(tmp_path / "part")
+    CLI.main(["partition", pts_file, out, "3", "KMeans", "default"], spark=spark)
+    capsys.readouterr()
+    gt = str(tmp_path / "gt.bin")
+    csv_out = str(tmp_path / "losses.csv")
+    CLI.main(
+        [
+            "analyze-approximation-losses", pts_file, pts_file, gt, "5",
+            f"{out}.k=3.KMeans.parquet", "KMeans", csv_out,
+        ],
+        spark=spark,
+    )
+    capsys.readouterr()
+    with open(csv_out) as f:
+        rows = list(csv.DictReader(f))
+    arms = {"single center", "full data", "kRt sample", "uniform sample"}
+    assert {r["type"] for r in rows} == arms
+    assert len(rows) == 4 * 3  # arms x num_shards
+    for arm in arms:
+        curve = [float(r["recall"]) for r in sorted(
+            (r for r in rows if r["type"] == arm), key=lambda r: int(r["num probes"])
+        )]
+        assert all(b >= a - 1e-9 for a, b in zip(curve, curve[1:]))
+        # probing all 3 blob shards recovers everything, on every arm
+        assert curve[-1] >= 0.999
+    # the oracle ("full data") first-probe recall bounds the realized arms
+    first = {r["type"]: float(r["recall"]) for r in rows if r["num probes"] == "1"}
+    assert first["full data"] >= max(first["single center"], first["uniform sample"]) - 1e-9

@@ -19,6 +19,10 @@ of the reference can run the same commands against this engine.
         experiment — KMTR + HNSW-style routing × exact/sublinear in-shard
         kernels × nprobes, CSV in the reference's column layout; without a
         partition, a global sublinear-index ef sweep.
+    python tools/cli.py analyze-approximation-losses <points> <queries> <gt> <k> <partition> <method> <out.csv> [budget]
+        (analyze_approximation_losses.cpp:159-237): recall-vs-probes for
+        the four routing arms (single center / full data / kRt sample /
+        uniform sample) in the reference's CSV layout.
     python tools/cli.py distributed-bench <points> <queries> <gt> <k> <partition> <router.parquet>
         (distributed_bench.cpp:13-62): end-to-end distributed serving —
         sampled-router top-2 probes (num_voting 250), in-shard search at
@@ -308,6 +312,69 @@ def cmd_small_scale_queries(spark, args):
                     )
 
 
+def cmd_analyze_approximation_losses(spark, args):
+    """≙ AnalyzeApproximationLosses (analyze_approximation_losses.cpp:
+    159-237): the routing-loss decomposition — recall-vs-probes curves for
+    the four routing arms over one partition, in the reference's CSV layout
+    ``partitioning,num probes,recall,type``:
+
+        analyze-approximation-losses <points> <queries> <gt> <k> <partition> <method> <out.csv> [budget]
+
+    Arms: ``single center`` (RouteUsingSingleCenter :95-142, the active
+    path), ``full data`` (FullDatasetRouting :58-92 — probe order from the
+    ground truth's own per-shard min distances), ``kRt sample``
+    (KMTR-extracted routing points + brute-force min-dist routing
+    :205-220), ``uniform sample`` (seed-420 sample :223-237). The
+    reference's latter three arms sit behind an early ``return 0``
+    (dead code in the shipped binary); they are the analysis, so this
+    command emits all four. ``budget`` defaults to the reference's 10M
+    routing-point budget capped at n (options.budget :207)."""
+    points_path, queries_path, gt_file, k_s, part_file, part_method, out_file = args[:7]
+    budget = int(args[7]) if len(args) > 7 else 10_000_000
+    k = int(k_s)
+    metric = _metric()
+    pts = _load_points(spark, points_path).cache()
+    n = pts.count()
+    budget = min(budget, n)
+    qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    nq = qs.count()
+    if os.path.exists(gt_file) or os.path.isdir(gt_file):
+        gt = IO.read_ground_truth(spark, gt_file)
+    else:
+        gt = R.ground_truth(pts, qs, k=k, metric=metric)
+        if gt_file.endswith(".bin"):
+            IO.write_ground_truth_bin(gt, gt_file)
+        else:
+            IO.write_ground_truth(gt, gt_file)
+    gt = gt.localCheckpoint(eager=True)
+    cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
+    cover = cover.localCheckpoint(eager=True)
+    num_shards = cover.agg(F.max("shard")).collect()[0][0] + 1
+
+    rp_tree = RT.train_kmeans_tree(pts, cover, sample_per_shard=50_000).localCheckpoint(eager=True)
+    arms = [
+        ("single center", lambda: RT.centroid_router(qs, pts, cover, metric=metric)),
+        ("full data", lambda: R.oracle_probe_order(gt, cover)),
+        ("kRt sample", lambda: RT.kmeans_tree_router(
+            qs, rp_tree, num_voting=int(1e9), metric=metric, policy="min_dist")),
+        ("uniform sample", lambda: RT.uniform_sample_router(
+            qs, pts, cover, budget=budget, metric=metric, policy="min_dist")),
+    ]
+    with open(out_file, "w") as out:
+        out.write("partitioning,num probes,recall,type\n")
+        for arm, mk in arms:
+            routes = mk().localCheckpoint(eager=True)
+            curve = {
+                r["nprobes"]: r["recall"]
+                for r in R.recall_vs_probes(gt, cover, routes, k, nq).collect()
+            }
+            last = 0.0
+            for j in range(1, num_shards + 1):
+                last = curve.get(j, last)  # flat once every hit is collected
+                out.write(f"{part_method},{j},{last},{arm}\n")
+                print(f"{part_method},{j},{last},{arm}")
+
+
 def cmd_distributed_bench(spark, args):
     """≙ DistributedBench (distributed_bench.cpp:13-62 over
     distributed_query_benchmark.h): the end-to-end distributed serving
@@ -407,6 +474,7 @@ COMMANDS = {
     "oracle-recall": cmd_oracle_recall,
     "graph-quality-bench": cmd_graph_quality_bench,
     "small-scale-queries": cmd_small_scale_queries,
+    "analyze-approximation-losses": cmd_analyze_approximation_losses,
     "distributed-bench": cmd_distributed_bench,
     "convert": cmd_convert,
 }
