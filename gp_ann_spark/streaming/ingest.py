@@ -129,46 +129,141 @@ def _write_thresholds(spark: SparkSession, thresh_dir: str, bucket_edges) -> Non
     )
 
 
-def _check_bucket_layout(spark: SparkSession, edges_dir: str, n_buckets: int) -> None:
-    """Refuse to incrementally update a sink written with a different
-    ``n_buckets``: the changed-bucket list is computed from pmod(src,
-    n_buckets) but old rows are selected by their STORED bucket value, so a
-    mismatch would silently drop/duplicate adjacency. The layout is pinned
-    in a one-row meta sink; pre-meta sinks get it stamped after a one-time
-    consistency scan. A sink written by the pre-bucketing code has no
-    ``bucket`` column at all — raise a targeted migration error instead of
-    an unresolved-column AnalysisException."""
-    meta_dir = edges_dir + "_layout"
-    if _sink_exists(meta_dir):
-        stored = int(spark.read.parquet(meta_dir).collect()[0]["n_buckets"])
-        if stored != n_buckets:
-            raise ValueError(
-                f"edge sink {edges_dir} was written with n_buckets={stored}; "
-                f"reopening with n_buckets={n_buckets} would corrupt the "
-                "bucketed maintenance path — repartition the sink or pass "
-                f"n_buckets={stored}"
-            )
-        return
-    sink = spark.read.parquet(edges_dir)
-    if "bucket" not in sink.columns:
-        raise ValueError(
-            f"edge sink {edges_dir} is an unbucketed legacy sink (no 'bucket' "
-            "partition column) — rebuild it, or repartition it once with "
-            "bucket = pmod(src, n_buckets) and write partitionBy('bucket') "
-            "before resuming incremental ingest"
-        )
-    bad = (
-        sink.where(F.pmod(F.col("src"), F.lit(n_buckets)).cast("int") != F.col("bucket"))
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            f"edge sink {edges_dir} bucket layout does not match n_buckets={n_buckets}"
-        )
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(meta_dir)
+class _BucketedSink:
+    """ONE guard/heal/migrate policy for every bucket-partitioned parquet
+    sink (the edge sink and the points sink today; any future sink — a
+    media-feature table, say — instantiates this instead of copying the
+    logic a third time).
+
+    Invariants enforced per sink:
+
+    - the layout meta dir ``sink_dir + meta_suffix`` pins ``n_buckets``;
+      reopening with a different value is refused (a mismatch would silently
+      drop/duplicate rows in every bucket-pruned read);
+    - a sink that predates the meta but HAS the bucket column gets a
+      one-time consistency scan before the meta is stamped (blind stamping
+      would bless wrong-bucket pruning);
+    - a legacy sink WITHOUT the bucket column is either migrated in place
+      (``legacy_error=None``: staged bucketed copy + two-rename swap, the
+      original never deleted before the complete replacement exists) or
+      refused with targeted guidance (``legacy_error`` set — the edge sink,
+      where the operator must choose between rebuild and repartition);
+    - ``heal`` finishes a swap interrupted at ANY crash stage
+      (tests/test_streaming.py enumerates the stage matrix).
+    """
+
+    def __init__(
+        self,
+        sink_dir: str,
+        n_buckets: int,
+        bucket_col: str,
+        bucket_expr,
+        what: str,
+        meta_suffix: str,
+        mismatch_consequence: str,
+        scan_error: str,
+        legacy_error: str | None = None,
+    ):
+        self.sink_dir = sink_dir
+        self.n_buckets = int(n_buckets)
+        self.bucket_col = bucket_col
+        self.bucket_expr = bucket_expr
+        self.what = what
+        self.meta_dir = sink_dir + meta_suffix
+        self.mismatch_consequence = mismatch_consequence
+        self.scan_error = scan_error
+        self.legacy_error = legacy_error
+        self.staging = sink_dir + "_staging"
+        self.backup = sink_dir + "_prebucket"
+
+    # -- layout meta ------------------------------------------------------
+    def stamp(self, spark: SparkSession) -> None:
+        spark.createDataFrame([(self.n_buckets,)], "n_buckets int").coalesce(
+            1
+        ).write.mode("overwrite").parquet(self.meta_dir)
+
+    # -- crash healing ----------------------------------------------------
+    def heal(self) -> None:
+        """Finish a legacy-sink migration that crashed between its two
+        renames. The swap sequence is: write complete bucketed copy to
+        ``_staging`` → rename sink → ``_prebucket`` → rename ``_staging`` →
+        sink → delete ``_prebucket``. A ``_prebucket`` directory therefore
+        implies the staging copy was COMPLETE when the crash happened: if
+        the sink is missing, promote the staging copy (or, if staging is
+        somehow gone too, restore the backup); if the sink is present, only
+        the final cleanup was lost. Without this, a crash in that window
+        makes the next drain see "no sink" and restart dense ids at 0 over
+        a live edge table. (The edge sink reuses ``_staging`` per batch for
+        its dynamic-overwrite merge — that path never creates
+        ``_prebucket``, so heal is a no-op there by construction.)"""
+        if not os.path.isdir(self.backup):
+            return
+        import shutil
+
+        if not _sink_exists(self.sink_dir):
+            if os.path.isdir(self.sink_dir):
+                shutil.rmtree(self.sink_dir)  # partially created target
+            if _sink_exists(self.staging):
+                os.rename(self.staging, self.sink_dir)
+            else:
+                os.rename(self.backup, self.sink_dir)
+                return  # keep nothing else: migration will re-run from scratch
+        shutil.rmtree(self.backup, ignore_errors=True)
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    # -- one-time legacy migration ---------------------------------------
+    def _migrate_legacy(self, spark: SparkSession, sink: DataFrame) -> None:
+        """Stage the bucketed copy, then SWAP via two filesystem renames
+        (crash-safe on a local FS: the original sink is never deleted before
+        the complete replacement is in place; Spark's mode('overwrite')
+        deletes the target first, which a crash mid-write would turn into
+        data loss). Remote URIs fall back to the Spark overwrite — there the
+        table format's atomic commit is the real answer (see README 'Table
+        format')."""
+        import shutil
+
+        sink.withColumn(self.bucket_col, self.bucket_expr).write.mode(
+            "overwrite"
+        ).partitionBy(self.bucket_col).parquet(self.staging)
+        try:
+            os.rename(self.sink_dir, self.backup)
+            os.rename(self.staging, self.sink_dir)
+            shutil.rmtree(self.backup)
+        except OSError:
+            spark.read.parquet(self.staging).write.mode("overwrite").partitionBy(
+                self.bucket_col
+            ).parquet(self.sink_dir)
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    # -- the guard --------------------------------------------------------
+    def ensure_layout(self, spark: SparkSession) -> None:
+        """Validate (or establish) the sink's bucket layout before any
+        bucket-pruned read or partial overwrite touches it."""
+        self.heal()
+        if _sink_exists(self.meta_dir):
+            stored = int(spark.read.parquet(self.meta_dir).collect()[0]["n_buckets"])
+            if stored != self.n_buckets:
+                raise ValueError(
+                    f"{self.what} {self.sink_dir} was written with "
+                    f"n_buckets={stored}; reopening with "
+                    f"n_buckets={self.n_buckets} "
+                    + self.mismatch_consequence.format(stored=stored)
+                )
+            return
+        sink = spark.read.parquet(self.sink_dir)
+        if self.bucket_col not in sink.columns:
+            if self.legacy_error is not None:
+                raise ValueError(self.legacy_error)
+            self._migrate_legacy(spark, sink)
+        else:
+            # meta missing but the sink IS bucketed (e.g. the meta write was
+            # lost): verify the stored values against THIS n_buckets before
+            # stamping — blind stamping over values computed with a
+            # different n_buckets would bless wrong-bucket pruning
+            bad = sink.where(self.bucket_expr != F.col(self.bucket_col)).limit(1).count()
+            if bad:
+                raise ValueError(self.scan_error)
+        self.stamp(spark)
 
 
 def _points_bucket(n_buckets: int):
@@ -179,95 +274,61 @@ def _points_bucket(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("sha256")), F.lit(n_buckets)).cast("int")
 
 
-def _heal_interrupted_migration(points_dir: str) -> None:
-    """Finish a legacy-sink migration that crashed between its two renames.
+def _edges_sink(edges_dir: str, n_buckets: int) -> _BucketedSink:
+    """Edge sink: bucket = pmod(src, n_buckets). The changed-bucket list is
+    computed from src but old rows are selected by their STORED bucket
+    value, so a layout mismatch would silently drop/duplicate adjacency
+    (≙ the maintenance contract of the bucketed incremental path). Legacy
+    unbucketed sinks are refused, not migrated — the operator must pick
+    rebuild vs repartition for a table that can be 10^12 rows."""
+    return _BucketedSink(
+        edges_dir,
+        n_buckets,
+        bucket_col="bucket",
+        bucket_expr=F.pmod(F.col("src"), F.lit(n_buckets)).cast("int"),
+        what="edge sink",
+        meta_suffix="_layout",
+        mismatch_consequence=(
+            "would corrupt the bucketed maintenance path — repartition the "
+            "sink or pass n_buckets={stored}"
+        ),
+        scan_error=(
+            f"edge sink {edges_dir} bucket layout does not match "
+            f"n_buckets={n_buckets}"
+        ),
+        legacy_error=(
+            f"edge sink {edges_dir} is an unbucketed legacy sink (no 'bucket' "
+            "partition column) — rebuild it, or repartition it once with "
+            "bucket = pmod(src, n_buckets) and write partitionBy('bucket') "
+            "before resuming incremental ingest"
+        ),
+    )
 
-    The migration sequence is: write complete bucketed copy to ``_staging``
-    → rename sink → ``_prebucket`` → rename ``_staging`` → sink → delete
-    ``_prebucket``. A ``_prebucket`` directory therefore implies the staging
-    copy was COMPLETE when the crash happened: if the sink is missing,
-    promote the staging copy (or, if staging is somehow gone too, restore
-    the backup); if the sink is present, only the final cleanup was lost.
-    Without this, a crash in that window makes the next drain see "no sink"
-    and restart dense ids at 0 over a live edge table."""
-    backup = points_dir + "_prebucket"
-    if not os.path.isdir(backup):
-        return
-    staging = points_dir + "_staging"
-    import shutil
 
-    if not _sink_exists(points_dir):
-        if os.path.isdir(points_dir):
-            shutil.rmtree(points_dir)  # partially created target
-        if _sink_exists(staging):
-            os.rename(staging, points_dir)
-        else:
-            os.rename(backup, points_dir)
-            return  # keep nothing else: migration will re-run from scratch
-    shutil.rmtree(backup, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-
-
-def _check_points_layout(spark: SparkSession, points_dir: str, n_buckets: int) -> None:
-    """Pin the points sink's hash-bucket layout (mirror of the edge sink's
-    guard): pruning the dedup anti-join with buckets computed at a different
-    ``n_buckets`` than the stored ``pbucket`` values would MISS duplicates
-    and silently double-insert rows. Legacy unbucketed sinks (pre-r4) are
-    migrated in place — one O(sink) rewrite, after which every batch's
-    anti-join reads only the batch's buckets."""
-    meta_dir = points_dir + "_playout"
-    if _sink_exists(meta_dir):
-        stored = int(spark.read.parquet(meta_dir).collect()[0]["n_buckets"])
-        if stored != n_buckets:
-            raise ValueError(
-                f"points sink {points_dir} was written with n_buckets={stored}; "
-                f"reopening with n_buckets={n_buckets} would break dedup "
-                f"anti-join pruning — pass n_buckets={stored}"
-            )
-        return
-    sink = spark.read.parquet(points_dir)
-    if "pbucket" not in sink.columns:
-        # one-time migration: stage the bucketed copy, then SWAP via two
-        # filesystem renames (crash-safe on a local FS: the original sink is
-        # never deleted before the complete replacement is in place; Spark's
-        # mode('overwrite') deletes the target first, which a crash mid-write
-        # would turn into data loss). Remote URIs fall back to the Spark
-        # overwrite — there the table format's atomic commit is the real
-        # answer (see README 'Table format').
-        import shutil
-
-        staging = points_dir + "_staging"
-        sink.withColumn("pbucket", _points_bucket(n_buckets)).write.mode(
-            "overwrite"
-        ).partitionBy("pbucket").parquet(staging)
-        backup = points_dir + "_prebucket"
-        try:
-            os.rename(points_dir, backup)
-            os.rename(staging, points_dir)
-            shutil.rmtree(backup)
-        except OSError:
-            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-                "pbucket"
-            ).parquet(points_dir)
-            shutil.rmtree(staging, ignore_errors=True)
-    else:
-        # sidecar missing but the sink IS bucketed (e.g. the sidecar write
-        # was lost): verify the stored values against THIS n_buckets before
-        # stamping — blind stamping over values computed with a different
-        # n_buckets would bless wrong-bucket pruning (mirrors the edge
-        # guard's one-time consistency scan)
-        bad = (
-            sink.where(_points_bucket(n_buckets) != F.col("pbucket")).limit(1).count()
-        )
-        if bad:
-            raise ValueError(
-                f"points sink {points_dir} pbucket values do not match "
-                f"n_buckets={n_buckets} — it was bucketed with a different "
-                "layout; pass the original n_buckets or re-migrate"
-            )
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(meta_dir)
+def _points_sink(points_dir: str, n_buckets: int) -> _BucketedSink:
+    """Points sink: pbucket = pmod(xxhash64(sha256), n_buckets). Pruning the
+    dedup anti-join with buckets computed at a different ``n_buckets`` than
+    the stored values would MISS duplicates and silently double-insert rows.
+    Legacy unbucketed sinks (pre-r4) are migrated in place — one O(sink)
+    rewrite, after which every batch's anti-join reads only the batch's
+    buckets."""
+    return _BucketedSink(
+        points_dir,
+        n_buckets,
+        bucket_col="pbucket",
+        bucket_expr=_points_bucket(n_buckets),
+        what="points sink",
+        meta_suffix="_playout",
+        mismatch_consequence=(
+            "would break dedup anti-join pruning — pass n_buckets={stored}"
+        ),
+        scan_error=(
+            f"points sink {points_dir} pbucket values do not match "
+            f"n_buckets={n_buckets} — it was bucketed with a different "
+            "layout; pass the original n_buckets or re-migrate"
+        ),
+        legacy_error=None,
+    )
 
 
 def ingest_stream(
@@ -292,7 +353,9 @@ def ingest_stream(
     write to O(changed buckets), where the old write-then-swap rewrote the
     entire table twice per batch."""
 
-    bucket = F.pmod(F.col("src"), F.lit(n_buckets)).cast("int")
+    edges_sink = _edges_sink(edges_dir, n_buckets)
+    points_sink = _points_sink(points_dir, n_buckets)
+    bucket = edges_sink.bucket_expr
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # 1. content-hash dedup WITHIN the batch (keep lexicographically
@@ -309,10 +372,10 @@ def ingest_stream(
         #    reads ONLY the batch's buckets (partition-pruned scan) instead
         #    of the whole 10^12-row sink every micro-batch — same design as
         #    the edge sink.
-        _heal_interrupted_migration(points_dir)
+        points_sink.heal()
         have_sink = _sink_exists(points_dir)
         if have_sink:
-            _check_points_layout(spark, points_dir, n_buckets)
+            points_sink.ensure_layout(spark)
             batch_buckets = [
                 int(r["b"])
                 for r in batch_unique.select(_points_bucket(n_buckets).alias("b"))
@@ -366,7 +429,7 @@ def ingest_stream(
         #    narrow rows + O(changed buckets) edge rows, never O(edges).
         thresh_dir = edges_dir + "_thresh"
         if existing is not None and _sink_exists(edges_dir):
-            _check_bucket_layout(spark, edges_dir, n_buckets)
+            edges_sink.ensure_layout(spark)
             edges_full = spark.read.parquet(edges_dir)
             if not _sink_exists(thresh_dir):
                 # one-time migration of a pre-sidecar sink: materialize the
@@ -412,16 +475,12 @@ def ingest_stream(
                 full = knn_edges(all_pts, k=min(k, n_all - 1), metric=metric).withColumn("bucket", bucket)
                 full.write.mode("overwrite").partitionBy("bucket").parquet(edges_dir)
                 _write_thresholds(spark, thresh_dir, spark.read.parquet(edges_dir))
-                spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
-                    1
-                ).write.mode("overwrite").parquet(edges_dir + "_layout")
+                edges_sink.stamp(spark)
         new_pts.withColumn("pbucket", _points_bucket(n_buckets)).write.mode(
             "append"
         ).partitionBy("pbucket").parquet(points_dir)
         if not have_sink:
-            spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
-                1
-            ).write.mode("overwrite").parquet(points_dir + "_playout")
+            points_sink.stamp(spark)
         _write_next_id(spark, points_dir, offset + n_new)
         # clean completion: the metadata row is authoritative again
         try:

@@ -3,6 +3,7 @@ Streaming front-end (file source, foreachBatch, availableNow drains,
 checkpoint-based resume across queries)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from gp_ann_spark.operators import knn as KNN
@@ -497,3 +498,64 @@ def test_interrupted_migration_heals(spark, tmp_path):
     assert not os.path.isdir(points_dir + "_staging")
     rebuilt = KNN.knn_edges(pts.select("id", "vec"), k=3)
     assert _edge_set(spark.read.parquet(edges_dir)) == _edge_set(rebuilt)
+
+
+def _mk_legacy_points_sink(spark, points_dir, n=8):
+    rows = [(int(i), [float(i)] * 4, f"{i:064x}") for i in range(n)]
+    spark.createDataFrame(rows, "id long, vec array<float>, sha256 string").write.mode(
+        "overwrite"
+    ).parquet(points_dir)
+
+
+@pytest.mark.parametrize(
+    "stage",
+    [
+        "after_staging_write",  # crash before rename 1: sink intact, staging complete
+        "between_renames",      # crash between renames: sink gone, staging complete
+        "before_cleanup",       # crash after rename 2: sink migrated, backup left
+        "backup_only",          # staging also lost: only the backup survives
+    ],
+)
+def test_migration_crash_stage_matrix(spark, tmp_path, stage):
+    """The shared _BucketedSink swap must converge from EVERY crash stage of
+    the legacy migration (staging write → rename sink→backup → rename
+    staging→sink → delete backup): heal + ensure_layout always ends with a
+    complete bucketed sink holding exactly the original rows and a stamped
+    layout meta."""
+    import os
+    import shutil
+
+    from gp_ann_spark.streaming.ingest import _points_sink, _sink_exists
+
+    points_dir = str(tmp_path / "points")
+    _mk_legacy_points_sink(spark, points_dir)
+    want = sorted(r["sha256"] for r in spark.read.parquet(points_dir).collect())
+    sink = _points_sink(points_dir, n_buckets=4)
+
+    # forge the crash stage from real swap artifacts: a COMPLETE staged copy
+    # (what _migrate_legacy writes before any rename), then the renames the
+    # crashed process did or did not reach
+    spark.read.parquet(points_dir).withColumn("pbucket", sink.bucket_expr).write.mode(
+        "overwrite"
+    ).partitionBy("pbucket").parquet(sink.staging)
+    if stage == "between_renames":
+        os.rename(points_dir, sink.backup)
+    elif stage == "before_cleanup":
+        os.rename(points_dir, sink.backup)
+        os.rename(sink.staging, points_dir)
+    elif stage == "backup_only":
+        os.rename(points_dir, sink.backup)
+        shutil.rmtree(sink.staging)
+
+    sink.ensure_layout(spark)  # heal() runs first inside
+
+    assert _sink_exists(points_dir)
+    assert not os.path.isdir(sink.backup)
+    pts = spark.read.parquet(points_dir)
+    assert "pbucket" in pts.columns
+    assert sorted(r["sha256"] for r in pts.collect()) == want
+    assert pts.where(sink.bucket_expr != F.col("pbucket")).count() == 0
+    assert spark.read.parquet(sink.meta_dir).collect()[0]["n_buckets"] == 4
+    # idempotent: a second guard pass is a clean no-op
+    sink.ensure_layout(spark)
+    assert sorted(r["sha256"] for r in spark.read.parquet(points_dir).collect()) == want
