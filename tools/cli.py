@@ -256,14 +256,21 @@ def cmd_small_scale_queries(spark, args):
             sp, qs, routes, k=k, metric=metric,
             ef_values=(20, 50, 80, 100, 120, 150, 200, 300, 400), reps=1,
         ).localCheckpoint(eager=True)
-        for ef in (20, 50, 80, 100, 120, 150, 200, 300, 400):
-            one = sr.where(F.col("ef") == ef)
-            hits = (
-                one.select("query_id", F.explode("neighbors").alias("neighbor_id"))
+        # one grouped aggregation covers the whole ef grid (2 jobs total,
+        # not 2 per ef) — the same batching the engine's own sweep uses
+        stats = {
+            r["ef"]: (r["hits"] or 0, r["t"] or 0.0)
+            for r in (
+                sr.select("ef", "query_id", F.explode("neighbors").alias("neighbor_id"))
                 .join(gt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
-                .count()
+                .groupBy("ef")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .join(sr.groupBy("ef").agg(F.sum("time_s").alias("t")), "ef", "full")
+                .collect()
             )
-            t = one.agg(F.sum("time_s")).collect()[0][0] or 0.0
+        }
+        for ef in (20, 50, 80, 100, 120, 150, 200, 300, 400):
+            hits, t = stats.get(ef, (0, 0.0))
             print(
                 f"global query with ef = {ef} took {t:.4f} seconds. "
                 f"recall = {hits / (nq * k):.4f}. avg latency = {1000.0 * t / nq:.4f} ms."
