@@ -16,7 +16,11 @@ the regime a real cluster operates in:
    (join+agg shuffle-bound), edge-traversals/s;
 4. **ann_probe**: sharded search with the sublinear in-shard IVF kernel
    (build + probe inside cogrouped applyInPandas, the serving path),
-   queries/s.
+   queries/s;
+5. **routing**: 2k queries scored against a 1M-point routing table through
+   the DISTRIBUTED blocked cross-score (no broadcast/driver copy, ≤64 MB
+   distance blocks, float32 scoring — the reference's big router-budget
+   regime, routes.cpp:130), queries/s.
 
 Usage:  python tools/scaling_bench.py            # run both levels + report
         python tools/scaling_bench.py --stage 8  # one level (subprocess)
