@@ -55,6 +55,15 @@ EF_SWEEP = (50, 80, 100, 150, 200, 250, 300, 400, 500)
 # spilled assignment factor (closest cells each point is stored in)
 DEFAULT_SPILL = 2
 
+# sampled-training policy: above this shard size, Lloyd iterations train on
+# a seeded sample of TRAIN_PER_CELL points per cell (FAISS's default budget)
+# instead of every point — the final spilled assignment still touches every
+# point, so only the centroid geometry is estimated from the sample. Below
+# the threshold the build is bit-identical to the always-full-train kernel
+# (every existing fixture/gate is ≤ ~100k points per shard).
+SAMPLED_TRAIN_THRESHOLD = 200_000
+TRAIN_PER_CELL = 256
+
 
 def _blocked_topn(
     X: np.ndarray, C: np.ndarray, nspill: int, metric: str = "l2", budget_bytes: int = 64 << 20
@@ -87,6 +96,7 @@ def build_ivf(
     n_iter: int = 5,
     spill: int = DEFAULT_SPILL,
     metric: str = "l2",
+    train_n: int | None = None,
 ):
     """Cluster the shard's points into ``n_cells`` (default ⌈√n⌉) cells and
     store each point in its ``spill`` closest cells.
@@ -105,26 +115,42 @@ def build_ivf(
     per-shard index with the compiled metric, dist.cpp:50-52 /
     CMakeLists.txt:57-62): L2 uses the plain mean update; MIPS uses the
     spherical update of kmeans.cpp:72-100.
+
+    ``train_n`` bounds the Lloyd-iteration training set: centroids are
+    trained on a seeded sample of ``train_n`` points and only the FINAL
+    spilled assignment touches every point (FAISS's sampled-training
+    strategy — the centroid field is a density estimate, so a
+    256-points-per-cell sample pins it while cutting the dominant build
+    cost from ``n_iter·n·c·d`` to ``n_iter·train_n·c·d``). ``None``
+    (default) auto-enables sampling above :data:`SAMPLED_TRAIN_THRESHOLD`
+    points with ``max(256·cells, threshold)`` training points; at or below
+    the threshold the build is bit-identical to the full-train kernel.
     """
     n = len(X)
     X = np.asarray(X, dtype=np.float64)
     c = min(n, n_cells or max(1, int(np.ceil(np.sqrt(n)))))
     rng = np.random.default_rng(seed)
-    C = X[rng.choice(n, size=c, replace=False)].copy()
+    if train_n is None and n > SAMPLED_TRAIN_THRESHOLD:
+        train_n = min(n, max(c * TRAIN_PER_CELL, SAMPLED_TRAIN_THRESHOLD))
+    if train_n is not None and c <= train_n < n:
+        T = X[rng.choice(n, size=train_n, replace=False)]
+    else:
+        T = X
+    C = T[rng.choice(len(T), size=c, replace=False)].copy()
     mips = metric == "mips"
     if mips:
-        norms = vec_norm(X)
+        norms = vec_norm(T)
         inv_norm = 1.0 / np.where(norms == 0.0, 1.0, norms)
         nsq = norms * norms
     for _ in range(n_iter):
-        a = _blocked_topn(X, C, 1, metric)[:, 0]
+        a = _blocked_topn(T, C, 1, metric)[:, 0]
         counts = np.bincount(a, minlength=c).astype(np.float64)
         sums = np.zeros_like(C)
         nonempty = counts > 0
         if mips:
             # ≙ SumPointsInClustersIP: weight 1/‖p‖, then rescale so
             # ‖C‖² = mean member ‖p‖² (NormalizeCentroidsIP kmeans.cpp:72-86)
-            np.add.at(sums, a, X * inv_norm[:, None])
+            np.add.at(sums, a, T * inv_norm[:, None])
             desired = np.bincount(a, weights=nsq, minlength=c)
             cur = (sums * sums).sum(axis=1)
             ok = nonempty & (cur > 0)
@@ -132,7 +158,7 @@ def build_ivf(
             C[ok] = sums[ok] * scale[:, None]
             C[nonempty & ~ok] = sums[nonempty & ~ok]
         else:
-            np.add.at(sums, a, X)
+            np.add.at(sums, a, T)
             C[nonempty] = sums[nonempty] / counts[nonempty, None]
     assign = _blocked_topn(X, C, min(spill, c), metric)  # (n, spill) by closeness
     sp = assign.shape[1]

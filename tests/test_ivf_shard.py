@@ -104,6 +104,37 @@ def test_ivf_recall_floor_large_shard(metric):
     assert rec[50] >= 0.75, rec
 
 
+@pytest.mark.parametrize("metric", ["l2", "mips"])
+def test_ivf_sampled_training_recall_and_determinism(metric):
+    """The sampled-training path (train_n < n: Lloyd runs on a seeded sample,
+    only the final spilled assignment sees every point — FAISS's strategy,
+    auto-enabled above SAMPLED_TRAIN_THRESHOLD) must hold the same recall
+    floors as the full-train kernel and stay deterministic. Forced here via
+    an explicit train_n on the 20k fixture so the test stays fast."""
+    rng = np.random.default_rng(11)
+    n, d, nq, k = 20000, 64, 150, 10
+    centers = rng.normal(size=(40, d)) * 3.0
+    X = centers[rng.integers(0, 40, n)] + rng.normal(size=(n, d))
+    Q = centers[rng.integers(0, 40, nq)] + rng.normal(size=(nq, d))
+    D = distance_matrix(Q, X, metric)
+    gt = [set(np.argsort(D[i], kind="stable")[:k]) for i in range(nq)]
+    # 256 per cell (the auto policy's per-cell budget at scale): ⌈√20000⌉=142
+    idx = build_ivf(X, seed=555, metric=metric, train_n=4000)
+    rec = {}
+    for ef in (50, 200):
+        rows, _ = ivf_search(Q, X, idx, k, ef, metric)
+        rec[ef] = sum(len(gt[i] & set(rows[i])) for i in range(nq)) / (nq * k)
+    assert rec[200] >= 0.9, rec
+    assert rec[50] >= 0.75, rec
+    idx2 = build_ivf(X, seed=555, metric=metric, train_n=4000)
+    assert all(np.array_equal(a, b) for a, b in zip(idx, idx2))
+    # every point still lands in ≤ spill cells with primaries summing to n
+    C, order, starts, ends, primary = idx
+    counts = np.bincount(order, minlength=n)
+    assert (counts >= 1).all() and (counts <= DEFAULT_SPILL).all()
+    assert primary.sum() == n
+
+
 def test_ivf_mips_build_uses_mips_geometry():
     """Under metric='mips' the cells must be trained in MIPS space: with
     points of wildly different norms, L2 cells group by norm while MIPS
