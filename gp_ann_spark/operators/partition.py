@@ -437,12 +437,16 @@ def graph_partition(
     for lab in reversed(maps):
         asn = lab.join(asn, "label").select(F.col("id").alias("label"), "shard")
     asn = asn.select(F.col("label").alias("id"), "shard")
-    if not maps:
-        # no coarsening happened (n ≤ coarse_target): the driver pass just
+    if not maps and len(weight_pdf) <= coarse_target:
+        # no coarsening was NEEDED (n ≤ coarse_target): the driver pass just
         # partitioned AND boundary-refined the full-resolution graph, so the
         # DataFrame refinement rounds would re-walk the same moves as pure
         # Spark-job latency (~2/3 of graph_partition wall time at bench
-        # scale). Multilevel inputs still refine below.
+        # scale). Multilevel inputs still refine below — and so does the
+        # maps-empty-but-large case (the first LP level made no shrinkage,
+        # the knn_graph.h:120-131 stall guard), where the full-resolution
+        # graph was only driver-partitioned and needs distributed refinement
+        # most.
         return asn
     n = asn.count()
     cap = max_cluster_size(n, num_shards, eps)

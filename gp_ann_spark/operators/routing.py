@@ -85,23 +85,23 @@ SCORE_BUDGET_BYTES = 64 << 20
 _PAD_HASH = np.int64((1 << 62))  # sorts after every real xxhash64 tie-key
 
 
-def _canonical_row_topnv(d: np.ndarray, h: np.ndarray, nv: int) -> np.ndarray:
-    """Row-wise top-``nv`` column positions of ``d`` under the (dist, hash)
-    total order. argpartition fast path; a full (dist, hash) lexsort repairs
-    ONLY the rows where a distance tie straddles the nv-th position —
-    argpartition's pick among exactly-tied candidates is arbitrary and would
-    otherwise leak the block layout into the result (same bug class as the
-    r4 CrunchBucket boundary-tie fix). Returned positions are NOT ordered
-    within a row; callers lexsort during their merge."""
-    m, w = d.shape
-    if nv >= w:
-        return np.broadcast_to(np.arange(w), (m, w))
-    part = np.argpartition(d, nv - 1, axis=1)[:, :nv]
-    kth = np.take_along_axis(d, part, axis=1).max(axis=1)
-    tied = np.nonzero((d <= kth[:, None]).sum(axis=1) > nv)[0]
-    for r in tied:  # rare: needs exact duplicate distances at the boundary
-        part[r] = np.lexsort((h, d[r]))[:nv]
-    return part
+def _exact_pair_dists(Qr: np.ndarray, Vr: np.ndarray, metric: str) -> np.ndarray:
+    """Deterministic per-pair distances in float64: the reduction order of a
+    row-wise ``(x*x).sum(axis=-1)`` depends only on the vector length d,
+    never on how many pairs are evaluated together or how the table was
+    blocked. GEMM does NOT have this property — its per-element summation
+    order varies with the matrix shape, so two bitwise-identical vectors
+    placed in different column blocks score last-ulp-different distances,
+    which would defeat any content-based tie-break (confirmed on this repo:
+    duplicate routing points got 1-ulp-different GEMM distances from
+    different blocks, flipping the selected twin with the block budget).
+    Every distance a scoring candidate is COMPARED or EMITTED with comes
+    from this kernel; GEMM is only used to preselect candidates."""
+    if metric == "l2":
+        diff = Qr - Vr
+        d = (diff * diff).sum(axis=-1)
+        return np.maximum(d, 0.0, out=d)
+    return 1.0 - (Qr * Vr).sum(axis=-1)
 
 
 def _score_block_topnv(
@@ -121,26 +121,44 @@ def _score_block_topnv(
     (at the reference's 10M-point router budget an unblocked batch×n matrix
     is ~8 GB per task — the r4 scale killer this kernel replaces).
 
-    Ties at the nv-th distance are broken by ``rp_hash`` (a Spark-side
-    xxhash64 of (shard, vec)) — canonical across block layouts, partition
-    counts, and the broadcast/distributed paths, so all paths are
-    bit-identical (tests/test_routing_search.py).
+    Selection and emitted distances are canonical across block layouts,
+    partition counts, dtypes' GEMM shapes, and the broadcast/distributed
+    paths: GEMM only PRESELECTS candidates (everything within a rigorous
+    floating-point error margin of the nv-th distance survives), each
+    survivor's distance is then recomputed by the layout-independent
+    :func:`_exact_pair_dists`, and all comparisons/merges use
+    (exact_dist, rp_hash) — ``rp_hash`` (a Spark-side xxhash64 of
+    (shard, vec)) breaking exact ties such as duplicate routing points
+    (tests/test_routing_search.py asserts bit-identity across layouts).
 
     Returns ``(idx, dist)`` of shape (nq, ≤nv): column positions into V and
-    their distances, each row in (dist, rp_hash) order; rows with fewer than
-    nv real points are padded with -1 / +inf.
+    their exact float64 distances, each row in (dist, rp_hash) order; rows
+    with fewer than nv real points are padded with -1 / +inf.
     """
     itemsize = np.dtype(score_dtype).itemsize
     nq, n = len(Q), len(V)
     nv = min(nv, n)
     Q = np.asarray(Q, dtype=score_dtype)
     V = np.asarray(V, dtype=score_dtype)
+    # exact-recompute operands: float64 views of the CAST values, so the
+    # float32 scoring option keeps its bandwidth savings in the GEMM while
+    # candidates still get one canonical float64 distance each
+    Q64 = Q.astype(np.float64, copy=False)
+    V64 = V.astype(np.float64, copy=False)
+    dim = Q.shape[1] if Q.ndim == 2 else 1
+    # per-pair |GEMM − exact| bound: ~dim·eps·scale with scale bounded by
+    # the squared operand norms; ×8 safety. Margin ~1e-12·scale for float64
+    # (semantically invisible), ~1e-4·scale for float32 (a few extra
+    # candidates preselected, all re-ranked exactly afterwards).
+    eps = float(np.finfo(score_dtype).eps)
+    qq64 = (Q64 * Q64).sum(axis=1) if n else np.zeros(nq)
     # column blocks first: each must hold ≥ nv points so a block's local
     # top-nv is sufficient for the global merge
     v_block = max(nv, budget_bytes // (itemsize * max(nq, 1)), 1)
     q_block = max(1, budget_bytes // (itemsize * min(v_block, n) or 1))
     out_idx = np.empty((nq, nv), dtype=np.int64)
     out_dist = np.empty((nq, nv), dtype=np.float64)
+    cap = min(n, 2 * nv + 16)  # preselect width; margin overflow → fallback
     for qlo in range(0, nq, q_block):
         Qb = Q[qlo : qlo + q_block]
         m = len(Qb)
@@ -149,21 +167,53 @@ def _score_block_topnv(
         best_i = np.full((m, nv), -1, dtype=np.int64)
         for vlo in range(0, n, v_block):
             Vb = V[vlo : vlo + v_block]
+            w = len(Vb)
             # same expression as distance_matrix/pairwise_sqr_l2 but at the
-            # caller's dtype (the shared kernels force float64): bit-identical
-            # for float64, half the block memory/bandwidth for float32
+            # caller's dtype: preselection only — never compared or emitted
+            vv = (Vb * Vb).sum(axis=1)
             if metric == "l2":
-                d = (Qb * Qb).sum(axis=1)[:, None] + (Vb * Vb).sum(axis=1)[None, :] - 2.0 * (Qb @ Vb.T)
+                d = vv[None, :].astype(np.float64) + (Qb * Qb).sum(axis=1)[:, None] - 2.0 * (Qb @ Vb.T)
                 np.maximum(d, 0.0, out=d)
             else:
                 d = 1.0 - Qb @ Vb.T
             d = d.astype(np.float64, copy=False)
-            part = _canonical_row_topnv(d, rp_hash[vlo : vlo + v_block], nv)
-            cd = np.take_along_axis(d, part, axis=1)
+            margin = 8.0 * dim * eps * (qq64[qlo : qlo + q_block] + float(vv.max()) + 1.0)
+            bcap = min(cap, w)
+            if bcap < w:
+                part = np.argpartition(d, bcap - 1, axis=1)[:, :bcap]
+            else:
+                part = np.broadcast_to(np.arange(w), (m, w)).copy()
+            cd_pre = np.take_along_axis(d, part, axis=1)
+            # nv-th smallest of the preselected + margin = keep threshold:
+            # any point outside it is strictly beaten by ≥ nv exact distances
+            kth = np.sort(cd_pre, axis=1)[:, min(nv, bcap) - 1]
+            thresh = kth + margin
+            valid = cd_pre <= thresh[:, None]
+            # overflow rows: > bcap points inside the margin (mass-duplicate
+            # tables) — exact-rescore those rows against the WHOLE block
+            if bcap < w:
+                over = np.nonzero((d <= thresh[:, None]).sum(axis=1) > bcap)[0]
+                for r in over:
+                    ex_r = _exact_pair_dists(Q64[qlo + r], V64[vlo : vlo + w], metric)
+                    o_r = np.lexsort((rp_hash[vlo : vlo + w], ex_r))[:nv]
+                    part[r, :nv] = o_r
+                    valid[r] = False
+                    valid[r, :nv] = True
             ci = part + vlo
-            ch = rp_hash[ci]
+            # canonical distances for every surviving candidate, row-chunked
+            # so the (rows × cap × dim) gather also respects the budget
+            cd = np.full(part.shape, np.inf)
+            rchunk = max(1, budget_bytes // (8 * max(bcap * dim, 1)))
+            for rlo in range(0, m, rchunk):
+                sel = ci[rlo : rlo + rchunk]
+                ex = _exact_pair_dists(
+                    Q64[qlo + rlo : qlo + rlo + len(sel), None, :], V64[sel], metric
+                )
+                cd[rlo : rlo + rchunk] = np.where(valid[rlo : rlo + rchunk], ex, np.inf)
+            ch = np.where(valid, rp_hash[ci], _PAD_HASH)
+            ci = np.where(valid, ci, -1)
             # merge running best with this block's candidates: one row-wise
-            # (dist, rp_hash) lexsort over ≤ 2·nv columns
+            # (exact dist, rp_hash) lexsort over ≤ nv+cap columns
             ad = np.concatenate([best_d, cd], axis=1)
             ah = np.concatenate([best_h, ch], axis=1)
             ai = np.concatenate([best_i, ci], axis=1)
@@ -176,15 +226,15 @@ def _score_block_topnv(
     return out_idx, out_dist
 
 
-def _collect_routing_table(routing_points: DataFrame):
-    """(shards, vecs, rp_hash) arrays of the whole routing-point table, with
-    the Spark-side xxhash64(shard, vec) tie-key attached — the SAME key the
-    distributed path computes per partition, so tie-breaks agree."""
-    pdf = (
-        routing_points.select("shard", "vec")
-        .withColumn("_rp", F.xxhash64("shard", "vec"))
-        .toPandas()
-    )
+def _collect_routing_table(routing_points: DataFrame, limit: int | None = None):
+    """(shards, vecs, rp_hash) arrays of the routing-point table (optionally
+    the first ``limit`` rows), with the Spark-side xxhash64(shard, vec)
+    tie-key attached — the SAME key the distributed path computes per
+    partition, so tie-breaks agree."""
+    df = routing_points.select("shard", "vec").withColumn("_rp", F.xxhash64("shard", "vec"))
+    if limit is not None:
+        df = df.limit(limit)
+    pdf = df.toPandas()
     shards = pdf["shard"].to_numpy().astype(np.int64)
     vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64) if len(pdf) else np.zeros((0, 1))
     rp_hash = pdf["_rp"].to_numpy().astype(np.int64)
@@ -194,7 +244,7 @@ def _collect_routing_table(routing_points: DataFrame):
 def score_routing_points(
     queries: DataFrame,
     routing_points: DataFrame,
-    num_voting: int = 20,
+    num_voting: int | None = 20,
     metric: str = "l2",
     q_id_col: str = "query_id",
     q_vec_col: str = "vec",
@@ -210,6 +260,9 @@ def score_routing_points(
     points (ties at the boundary broken by xxhash64(shard, vec) — canonical
     across partition layouts), then per (query, shard) emit min distance and
     hit count. Returns ``(query_id, shard, min_dist, votes)``.
+    ``num_voting=None`` means "ALL routing points" — the min-dist/centroid
+    router semantics (analyze_approximation_losses.cpp:92-142), where every
+    shard's true min distance is wanted and votes degenerate to shard sizes.
 
     Two physical strategies with bit-identical output:
 
@@ -218,33 +271,51 @@ def score_routing_points(
     - **distributed** (above the threshold, ≙ the reference's 1M–10M router
       budgets, routes.cpp:130): the routing table STAYS a DataFrame; the
       query batch (bounded — an evaluation batch, ~MBs) is broadcast
-      instead, each routing partition emits its local top-``num_voting``
-      candidates per query, and a Catalyst window + aggregation merges them
-      globally. Shuffle volume is nq × num_voting × n_partitions compact
-      rows — never a distance matrix.
+      instead. With bounded ``num_voting``, each routing partition emits
+      its local top-``num_voting`` candidates per query and a Catalyst
+      window + aggregation merges them globally — shuffle volume is
+      nq × num_voting × n_partitions compact rows, never a distance
+      matrix. With ``num_voting=None`` a top-all candidate set would be
+      nq × n_routing rows, so the kernel switches to the AGGREGATE form:
+      each partition emits per-(query, shard) partial (min, count) and one
+      groupBy finishes — shuffle volume nq × n_shards × n_partitions,
+      independent of the table size.
 
     All distance blocks are two-axis bounded to ``budget_bytes`` (64 MB);
     ``score_dtype="float32"`` halves block memory/bandwidth at scale (rank
-    changes only within float32 epsilon — keep float64 when an oracle
-    compares ranks).
+    changes only within float32 epsilon — emitted distances are always the
+    canonical float64 per-pair values, see ``_exact_pair_dists``).
     """
     if metric not in VALID_METRICS:
         raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
     spark = queries.sparkSession
     dtype = np.float32 if score_dtype == "float32" else np.float64
+    collected = None
     if distributed is None:
-        distributed = routing_points.limit(max_broadcast_rows + 1).count() > max_broadcast_rows
+        # one pass decides AND collects: if the head fits, it IS the whole
+        # table (no second scan of an expensive routing-table plan — the
+        # limit cannot be pushed below the aggregation that built it)
+        head = _collect_routing_table(routing_points, limit=max_broadcast_rows + 1)
+        if len(head[0]) > max_broadcast_rows:
+            distributed = True
+        else:
+            distributed = False
+            collected = head
     if distributed:
+        if num_voting is None:
+            return _score_routing_points_distributed_all(
+                queries, routing_points, metric, q_id_col, q_vec_col, dtype, budget_bytes
+            )
         return _score_routing_points_distributed(
             queries, routing_points, num_voting, metric, q_id_col, q_vec_col, dtype, budget_bytes
         )
-    shards, vecs, rp_hash = _collect_routing_table(routing_points)
+    shards, vecs, rp_hash = collected if collected is not None else _collect_routing_table(routing_points)
     bc = spark.sparkContext.broadcast((shards, vecs, rp_hash))
     schema = f"{q_id_col} long, shard int, min_dist double, votes long"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sh, V, H = bc.value
-        nv = min(num_voting, len(sh))
+        nv = len(sh) if num_voting is None else min(num_voting, len(sh))
         for pdf in batches:
             if len(pdf) == 0 or nv == 0:
                 continue
@@ -346,6 +417,74 @@ def _score_routing_points_distributed(
     )
 
 
+def _score_routing_points_distributed_all(
+    queries: DataFrame,
+    routing_points: DataFrame,
+    metric: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dtype,
+    budget_bytes: int,
+) -> DataFrame:
+    """Large-routing-table path for ``num_voting=None`` (score against ALL
+    points — the min-dist/centroid router semantics): a top-all candidate
+    merge would hold nq × partition_rows state per task and shuffle
+    nq × n_routing rows, so this kernel aggregates instead. Each partition
+    sorts its batch by shard and runs the canonical blocked kernel at nv=1
+    per shard segment — the per-(query, shard) exact min — accumulating one
+    (min over batches, count) pair per shard across the partition; a single
+    groupBy finishes. Shuffle volume is nq × n_shards × n_partitions compact
+    rows, independent of the routing-table size; per-task state is
+    nq × shards_in_partition floats. Output is bit-identical to the
+    broadcast path at ``num_voting=None`` (same _exact_pair_dists values,
+    min is order-independent, votes = shard sizes either way)."""
+    spark = queries.sparkSession
+    qpdf = queries.select(q_id_col, q_vec_col).toPandas()
+    qids = qpdf[q_id_col].to_numpy().astype(np.int64)
+    Q = np.stack(qpdf[q_vec_col].to_numpy()).astype(np.float64) if len(qpdf) else np.zeros((0, 1))
+    bc = spark.sparkContext.broadcast((qids, Q))
+    part_schema = f"{q_id_col} long, shard int, dist double, cnt long"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, Qm = bc.value
+        if len(ids) == 0:
+            return
+        acc: dict[int, list] = {}  # shard -> [running min (nq,), count]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy())
+            H = pdf["_rp"].to_numpy().astype(np.int64)
+            sh = pdf["shard"].to_numpy().astype(np.int64)
+            order = np.argsort(sh, kind="stable")
+            V, H, sh = V[order], H[order], sh[order]
+            bounds = np.flatnonzero(np.diff(sh)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(sh)]])
+            for s, e in zip(starts, ends):
+                _, dmin = _score_block_topnv(Qm, V[s:e], H[s:e], 1, metric, budget_bytes, dtype)
+                key = int(sh[s])
+                cur = acc.get(key)
+                if cur is None:
+                    acc[key] = [dmin[:, 0], e - s]
+                else:
+                    np.minimum(cur[0], dmin[:, 0], out=cur[0])
+                    cur[1] += e - s
+        for key, (dmin, cnt) in acc.items():
+            yield pd.DataFrame(
+                {q_id_col: ids, "shard": np.int32(key), "dist": dmin, "cnt": np.int64(cnt)}
+            )
+
+    cand = (
+        routing_points.select("shard", "vec")
+        .withColumn("_rp", F.xxhash64("shard", "vec"))
+        .mapInPandas(partial, schema=part_schema)
+    )
+    return cand.groupBy(q_id_col, "shard").agg(
+        F.min("dist").alias("min_dist"), F.sum("cnt").alias("votes")
+    )
+
+
 def probe_order(
     scored: DataFrame,
     policy: str = "min_dist",
@@ -387,7 +526,7 @@ def centroid_router(
     """Single-centroid-per-shard router (≙ the single-center routing baseline
     analyze_approximation_losses.cpp:92-142): routing table = shard means."""
     cents = shard_centroids(points, assignment)
-    scored = score_routing_points(queries, cents, num_voting=int(1e9), metric=metric)
+    scored = score_routing_points(queries, cents, num_voting=None, metric=metric)
     return probe_order(scored, policy=policy)
 
 
@@ -406,15 +545,24 @@ def uniform_sample_router(
     from brute-force scoring against them. Deterministic hash-rank sample
     (orderBy+limit compiles to a distributed TakeOrdered, no global sort
     shuffle; the reference uses std::sample with mt19937(420))."""
-    rp = (
+    rp = uniform_routing_table(points, assignment, budget, seed=seed)
+    scored = score_routing_points(queries, rp, num_voting=None, metric=metric)
+    return probe_order(scored, policy=policy)
+
+
+def uniform_routing_table(
+    points: DataFrame, assignment: DataFrame, budget: int, seed: int = 420
+) -> DataFrame:
+    """The uniform-sample routing-point table ``(shard, vec)`` — the single
+    definition shared by :func:`uniform_sample_router` and the CLI benches,
+    so the sample (seed, tie-key, join order) cannot silently diverge."""
+    return (
         points.select("id", "vec")
         .orderBy(F.xxhash64("id", F.lit(seed)))
         .limit(int(budget))
         .join(assignment, "id")
         .select("shard", "vec")
     )
-    scored = score_routing_points(queries, rp, num_voting=int(1e9), metric=metric)
-    return probe_order(scored, policy=policy)
 
 
 # ------------------------------------------------------ k-means tree router
@@ -485,7 +633,7 @@ def train_kmeans_tree(
 def kmeans_tree_router(
     queries: DataFrame,
     routing_points: DataFrame,
-    num_voting: int = 500,
+    num_voting: int | None = 500,
     metric: str = "l2",
     policy: str = "frequency",
 ) -> DataFrame:

@@ -218,18 +218,15 @@ def test_score_blocked_matches_straightline_oracle(spark, score_fixture):
     shards, vecs, H = RT._collect_routing_table(rp)
     want = {}
     for i, q in enumerate(Q):
-        # same |q|²+|v|²-2⟨q,v⟩ identity as the kernel — a direct
-        # (q-v)² oracle differs by ~1e-13 per value, enough to swap
-        # near-boundary candidates and fail the exact-selection assert
-        d = np.maximum((q @ q) + (vecs * vecs).sum(1) - 2.0 * (vecs @ q), 0.0)
+        # the kernel's canonical distance IS the per-pair (q-v)² form
+        # (_exact_pair_dists) — GEMM only preselects — so the oracle
+        # matches it bit-for-bit, not approximately
+        d = np.maximum(((vecs - q) ** 2).sum(1), 0.0)
         for j in np.lexsort((H, d))[:nv]:
             s = int(shards[j])
             md, v = want.get((i, s), (np.inf, 0))
             want[(i, s)] = (min(md, d[j]), v + 1)
-    assert set(got) == set(want)
-    for k in got:
-        assert got[k][1] == want[k][1]  # exact same selection per shard
-        assert got[k][0] == pytest.approx(want[k][0], abs=1e-12)
+    assert got == want  # selection, votes AND distances bit-identical
 
 
 def test_score_tiny_blocks_same_selection(spark, score_fixture):
@@ -238,10 +235,44 @@ def test_score_tiny_blocks_same_selection(spark, score_fixture):
     rp, qs, _ = score_fixture
     a = _score_map(RT.score_routing_points(qs, rp, num_voting=25))
     b = _score_map(RT.score_routing_points(qs, rp, num_voting=25, budget_bytes=2048))
-    assert set(a) == set(b)
-    for k in a:
-        assert a[k][1] == b[k][1]
-        assert a[k][0] == pytest.approx(b[k][0], abs=1e-12)
+    assert a == b  # bit-identical, duplicates included: the emitted
+    # distances come from the layout-independent per-pair kernel, so a
+    # 1-ulp GEMM difference between blocks can never flip a duplicate
+
+
+def test_score_duplicates_layout_independent_float32(spark, score_fixture):
+    """The confirmed r5 review bug: GEMM gives bitwise-identical vectors
+    last-ulp-different distances in different column blocks, silently
+    defeating the (dist, hash) tie-break. With exact per-pair re-ranking
+    the output must be bit-identical across block budgets for BOTH dtypes
+    on the duplicate-heavy fixture."""
+    rp, qs, _ = score_fixture
+    for dt in ("float64", "float32"):
+        a = _score_map(RT.score_routing_points(qs, rp, num_voting=25, score_dtype=dt))
+        b = _score_map(
+            RT.score_routing_points(qs, rp, num_voting=25, score_dtype=dt, budget_bytes=2048)
+        )
+        assert a == b, dt
+
+
+def test_score_all_points_aggregate_path_bit_identical(spark, score_fixture):
+    """num_voting=None (the min-dist/centroid router semantics) routes the
+    distributed case to the AGGREGATE kernel — per-(query, shard) partial
+    (min, count), no top-all candidate state — which must be bit-identical
+    to the broadcast path, votes = shard sizes included."""
+    rp, qs, _ = score_fixture
+    a = sorted(tuple(r) for r in RT.score_routing_points(qs, rp, num_voting=None).collect())
+    b = sorted(
+        tuple(r)
+        for r in RT.score_routing_points(
+            qs, rp.repartition(7), num_voting=None, distributed=True
+        ).collect()
+    )
+    assert a == b
+    # votes under "all points" = the shard's routing-point count, per query
+    sizes = {r["shard"]: r["cnt"] for r in rp.groupBy("shard").count().withColumnRenamed("count", "cnt").collect()}
+    for (qid, shard, _md, votes) in a:
+        assert votes == sizes[shard]
 
 
 def test_score_distributed_bit_identical_to_broadcast(spark, score_fixture):

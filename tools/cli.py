@@ -80,6 +80,21 @@ def _load_points(spark, path):
     return IO.read_points_bin(spark, path, fmt=fmt)
 
 
+def _load_or_build_gt(spark, pts, qs, gt_file, k, metric):
+    """Compute-or-read ground truth. ``read_ground_truth`` dispatches on the
+    path: directory = parquet, file = the reference's ids-then-dists binary
+    (points_io.cpp:136-160). Freshly computed GT is persisted to ``gt_file``
+    in the format its extension names, so the next invocation reads it."""
+    if os.path.exists(gt_file):
+        return IO.read_ground_truth(spark, gt_file)
+    gt = R.ground_truth(pts, qs, k=k, metric=metric)
+    if gt_file.endswith(".bin"):
+        IO.write_ground_truth_bin(gt, gt_file)
+    else:
+        IO.write_ground_truth(gt, gt_file)
+    return gt
+
+
 def _knn_edges_auto(pts, k=10, strong=False):
     """GP's edge table: approx builder (the reference's default graph source,
     partitioning.cpp:251-264). ``strong`` bumps the builder to FANOUT=5 /
@@ -169,18 +184,12 @@ def cmd_query_attribution(spark, args):
     )
     pts = _load_points(spark, points_path).cache()
     qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
-    if os.path.exists(gt_file) or os.path.isdir(gt_file):
-        # read_ground_truth dispatches: dir = parquet, file = the
-        # reference's ids-then-dists binary (points_io.cpp:136-160)
-        gt = IO.read_ground_truth(spark, gt_file)
-        gt, _, report = R.validate_ground_truth(gt, pts, qs, k, metric=_metric())  # ≙ the eps sweep + repair
+    preexisting = os.path.exists(gt_file)
+    gt = _load_or_build_gt(spark, pts, qs, gt_file, k, _metric())
+    if preexisting:
+        # externally supplied GT gets the eps sweep + repair before use
+        gt, _, report = R.validate_ground_truth(gt, pts, qs, k, metric=_metric())
         print("gt validation:", json.dumps({str(k_): v for k_, v in report.items()}, default=str))
-    else:
-        gt = R.ground_truth(pts, qs, k=k, metric=_metric())
-        if gt_file.endswith(".bin"):
-            IO.write_ground_truth_bin(gt, gt_file)
-        else:
-            IO.write_ground_truth(gt, gt_file)
     gt = gt.localCheckpoint(eager=True)
     cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
     pdf = SW.routing_sweep_pareto(pts, cover, qs, gt, k=k, num_shards=shards, metric=_metric())
@@ -235,15 +244,7 @@ def cmd_small_scale_queries(spark, args):
     pts = _load_points(spark, points_path).cache()
     qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").cache()
     nq = qs.count()
-    if os.path.exists(gt_file) or os.path.isdir(gt_file):
-        gt = IO.read_ground_truth(spark, gt_file)
-    else:
-        gt = R.ground_truth(pts, qs, k=k, metric=metric)
-        if gt_file.endswith(".bin"):
-            IO.write_ground_truth_bin(gt, gt_file)
-        else:
-            IO.write_ground_truth(gt, gt_file)
-    gt = gt.localCheckpoint(eager=True)
+    gt = _load_or_build_gt(spark, pts, qs, gt_file, k, metric).localCheckpoint(eager=True)
 
     if part_method == "None" or not (os.path.exists(part_file) or os.path.isdir(part_file)):
         # unpartitioned: global index, ef sweep (reference prints, no CSV)
@@ -345,15 +346,7 @@ def cmd_analyze_approximation_losses(spark, args):
     budget = min(budget, n)
     qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
     nq = qs.count()
-    if os.path.exists(gt_file) or os.path.isdir(gt_file):
-        gt = IO.read_ground_truth(spark, gt_file)
-    else:
-        gt = R.ground_truth(pts, qs, k=k, metric=metric)
-        if gt_file.endswith(".bin"):
-            IO.write_ground_truth_bin(gt, gt_file)
-        else:
-            IO.write_ground_truth(gt, gt_file)
-    gt = gt.localCheckpoint(eager=True)
+    gt = _load_or_build_gt(spark, pts, qs, gt_file, k, metric).localCheckpoint(eager=True)
     cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
     cover = cover.localCheckpoint(eager=True)
     num_shards = cover.agg(F.max("shard")).collect()[0][0] + 1
@@ -363,7 +356,7 @@ def cmd_analyze_approximation_losses(spark, args):
         ("single center", lambda: RT.centroid_router(qs, pts, cover, metric=metric)),
         ("full data", lambda: R.oracle_probe_order(gt, cover)),
         ("kRt sample", lambda: RT.kmeans_tree_router(
-            qs, rp_tree, num_voting=int(1e9), metric=metric, policy="min_dist")),
+            qs, rp_tree, num_voting=None, metric=metric, policy="min_dist")),
         ("uniform sample", lambda: RT.uniform_sample_router(
             qs, pts, cover, budget=budget, metric=metric, policy="min_dist")),
     ]
@@ -410,28 +403,14 @@ def cmd_distributed_bench(spark, args):
     n = pts.count()
     qs = _load_points(spark, queries_path).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
     nq = qs.count()
-    if os.path.exists(gt_file) or os.path.isdir(gt_file):
-        gt = IO.read_ground_truth(spark, gt_file)
-    else:
-        gt = R.ground_truth(pts, qs, k=k, metric=metric)
-        if gt_file.endswith(".bin"):
-            IO.write_ground_truth_bin(gt, gt_file)
-        else:
-            IO.write_ground_truth(gt, gt_file)
-    gt = gt.localCheckpoint(eager=True)
+    gt = _load_or_build_gt(spark, pts, qs, gt_file, k, metric).localCheckpoint(eager=True)
     cover = IO.read_clusters(spark, part_file) if part_file.endswith(".clusters") else IO.read_assignment(spark, part_file)
     cover = cover.localCheckpoint(eager=True)
     if os.path.isdir(router_file):
         rp = spark.read.parquet(router_file)
     else:
         budget = min(n, max(1000, n // 10))
-        rp = (
-            pts.select("id", "vec")
-            .orderBy(F.xxhash64("id", F.lit(420)))
-            .limit(int(budget))
-            .join(cover, "id")
-            .select("shard", "vec")
-        )
+        rp = RT.uniform_routing_table(pts, cover, budget)
         rp.write.mode("overwrite").parquet(router_file)
         rp = spark.read.parquet(router_file)
     # index build happens inside the probe tasks; materialize the shard
