@@ -1333,7 +1333,10 @@ def oracle_sql() -> dict[str, str]:
         # constants interpolated from the SAME K / query cap the Spark side
         # uses, so a change to either cannot silently desynchronize the gate
         "ann_shard_invariants": (
-            f"SELECT least({_ANN_GATE_NQ}, count(*)) * least({K}, count(*) - 1) AS n_exact_hits, "
+            # min(K, n), not n-1: probe_shards does NOT exclude the query's
+            # own point (queries are drawn from the shard), so a query in a
+            # shard of n ≤ K points gets all n rows incl. the self-match
+            f"SELECT least({_ANN_GATE_NQ}, count(*)) * least({K}, count(*)) AS n_exact_hits, "
             "true AS exact_at_full_budget, true AS recall_monotone_in_ef, "
             "true AS recall_floor_high_budget, true AS partial_probe_at_low_budget "
             "FROM embeddings"

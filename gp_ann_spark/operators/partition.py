@@ -275,6 +275,20 @@ def _initial_partition_driver(
     return {int(v): int(p) for v, p in zip(ids, best_part)}
 
 
+def _leftover_shard(conn, loads, w, cap) -> int:
+    """Placement rule for a vertex the greedy grower left unassigned: the
+    max-affinity shard that still has room, else the least-loaded shard.
+    Affinity is evaluated over OPEN shards only — when the vertex's
+    neighbors all sit in full shards the least-loaded fallback applies
+    (testing ``conn.max()`` over all shards would instead dump every such
+    leftover onto the lowest-index open shard, skewing loads)."""
+    open_s = loads + w <= cap
+    masked = np.where(open_s, conn, -np.inf)
+    if open_s.any() and masked.max() > 0:
+        return int(np.argmax(masked))
+    return int(np.argmin(loads))
+
+
 def _grow_once(adj, wts, order, num_shards: int, cap: float, rng):
     """One seeded greedy growth + boundary refinement pass; returns
     (part, loads). Gains are maintained INCREMENTALLY with a lazy max-heap —
@@ -325,11 +339,7 @@ def _grow_once(adj, wts, order, num_shards: int, cap: float, rng):
             for u, w in adj[v].items():
                 if part[u] != -1:
                     conn[part[u]] += w
-            open_s = loads + wts[v] <= cap
-            if conn.max() > 0 and open_s[int(np.argmax(np.where(open_s, conn, -np.inf)))]:
-                s = int(np.argmax(np.where(open_s, conn, -np.inf)))
-            else:
-                s = int(np.argmin(loads))
+            s = _leftover_shard(conn, loads, wts[v], cap)
             part[v] = s
             loads[s] += wts[v]
     # boundary KL-ish refinement: best single-vertex moves while balance holds

@@ -226,14 +226,11 @@ def _score_block_topnv(
     return out_idx, out_dist
 
 
-def _collect_routing_table(routing_points: DataFrame, limit: int | None = None):
-    """(shards, vecs, rp_hash) arrays of the routing-point table (optionally
-    the first ``limit`` rows), with the Spark-side xxhash64(shard, vec)
-    tie-key attached — the SAME key the distributed path computes per
-    partition, so tie-breaks agree."""
+def _collect_routing_table(routing_points: DataFrame):
+    """(shards, vecs, rp_hash) arrays of the routing-point table, with the
+    Spark-side xxhash64(shard, vec) tie-key attached — the SAME key the
+    distributed path computes per partition, so tie-breaks agree."""
     df = routing_points.select("shard", "vec").withColumn("_rp", F.xxhash64("shard", "vec"))
-    if limit is not None:
-        df = df.limit(limit)
     pdf = df.toPandas()
     shards = pdf["shard"].to_numpy().astype(np.int64)
     vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float64) if len(pdf) else np.zeros((0, 1))
@@ -268,6 +265,10 @@ def score_routing_points(
 
     - **broadcast** (routing table ≤ ``max_broadcast_rows``): collect +
       broadcast the table, one blocked mapInPandas pass over the queries.
+      With ``num_voting=None`` the pass aggregates per shard segment
+      (blocked nv=1 min + segment size) instead of selecting a top-all
+      candidate set, so per-batch state is nq × n_shards, never
+      nq × n_routing.
     - **distributed** (above the threshold, ≙ the reference's 1M–10M router
       budgets, routes.cpp:130): the routing table STAYS a DataFrame; the
       query batch (bounded — an evaluation batch, ~MBs) is broadcast
@@ -290,17 +291,16 @@ def score_routing_points(
         raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
     spark = queries.sparkSession
     dtype = np.float32 if score_dtype == "float32" else np.float64
-    collected = None
     if distributed is None:
-        # one pass decides AND collects: if the head fits, it IS the whole
-        # table (no second scan of an expensive routing-table plan — the
-        # limit cannot be pushed below the aggregation that built it)
-        head = _collect_routing_table(routing_points, limit=max_broadcast_rows + 1)
-        if len(head[0]) > max_broadcast_rows:
-            distributed = True
-        else:
-            distributed = False
-            collected = head
+        # count-only probe: limit(max+1) + a lit(1) projection decides
+        # without shipping half a million vectors to the driver only to
+        # discard them when the table turns out large (the 1M–10M router
+        # budgets). The small case pays a second scan of the routing-table
+        # plan — callers with an expensive uncached plan (e.g. a fresh
+        # k-means tree build) should checkpoint it or pass ``distributed``
+        # explicitly.
+        n_head = routing_points.select(F.lit(1)).limit(max_broadcast_rows + 1).count()
+        distributed = n_head > max_broadcast_rows
     if distributed:
         if num_voting is None:
             return _score_routing_points_distributed_all(
@@ -309,13 +309,24 @@ def score_routing_points(
         return _score_routing_points_distributed(
             queries, routing_points, num_voting, metric, q_id_col, q_vec_col, dtype, budget_bytes
         )
-    shards, vecs, rp_hash = collected if collected is not None else _collect_routing_table(routing_points)
+    shards, vecs, rp_hash = _collect_routing_table(routing_points)
+    if num_voting is None:
+        # "ALL routing points" is the AGGREGATE form, here too: a top-all
+        # selection through the nv-wide kernel would allocate
+        # (batch × n_routing) index/distance arrays — ~75 GB at a 500k-row
+        # table and the default 10k Arrow batch, defeating the 64 MB budget.
+        # Sort the table by shard once; per batch run the blocked kernel at
+        # nv=1 per shard segment (exact per-(query, shard) min), votes =
+        # shard size. Output is bit-identical to the old top-all + groupby
+        # (same _exact_pair_dists values, min is order-independent).
+        order = np.argsort(shards, kind="stable")
+        shards, vecs, rp_hash = shards[order], vecs[order], rp_hash[order]
     bc = spark.sparkContext.broadcast((shards, vecs, rp_hash))
     schema = f"{q_id_col} long, shard int, min_dist double, votes long"
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_topnv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sh, V, H = bc.value
-        nv = len(sh) if num_voting is None else min(num_voting, len(sh))
+        nv = min(num_voting, len(sh))
         for pdf in batches:
             if len(pdf) == 0 or nv == 0:
                 continue
@@ -336,7 +347,35 @@ def score_routing_points(
             )
             yield out[[q_id_col, "shard", "min_dist", "votes"]]
 
-    return queries.select(q_id_col, q_vec_col).mapInPandas(score, schema=schema)
+    def score_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sh, V, H = bc.value  # shard-sorted at broadcast time
+        if len(sh) == 0:
+            return
+        bounds = np.flatnonzero(np.diff(sh)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(sh)]])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[q_vec_col].to_numpy())
+            qids = pdf[q_id_col].to_numpy()
+            outs = []
+            for s, e in zip(starts, ends):
+                _, dmin = _score_block_topnv(Q, V[s:e], H[s:e], 1, metric, budget_bytes, dtype)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            q_id_col: qids,
+                            "shard": np.int32(sh[s]),
+                            "min_dist": dmin[:, 0],
+                            "votes": np.int64(e - s),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    fn = score_all if num_voting is None else score_topnv
+    return queries.select(q_id_col, q_vec_col).mapInPandas(fn, schema=schema)
 
 
 def _score_routing_points_distributed(

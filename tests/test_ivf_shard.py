@@ -254,3 +254,21 @@ def test_ivf_ties_with_duplicate_vectors_valid_topk(spark, rng):
             assert len(nbrs) == k
             dc = _canon_d(X[qid], X[np.array(nbrs)])
             assert (dc <= _kth_excl_self(X, qid, k) + eps).all(), (in_shard, qid)
+
+
+def test_probe_small_shard_includes_self_match(spark, rng):
+    """A query drawn from the probed shard matches its own point (dist 0,
+    no self-exclusion), and a shard of n <= k points yields exactly n rows
+    per query — the row-count contract the ann_shard_invariants oracle
+    encodes as least(k, n), NOT least(k, n-1)."""
+    X = rng.normal(size=(5, 8)).astype(np.float32)
+    pts = make_points_df(spark, X)
+    asn = pts.select("id", F.lit(0).cast("int").alias("shard"))
+    qs = pts.select(F.col("id").alias("query_id"), "vec")
+    routes = qs.select("query_id").withColumn("shard", F.lit(0)).withColumn("probe_rank", F.lit(1))
+    sp = S.shard_points(pts, asn).localCheckpoint(eager=True)
+    for in_shard, ef in (("exact", 0), ("ivf", 10**9)):
+        res = S.merge_results(S.probe_shards(sp, qs, routes, k=10, in_shard=in_shard, ef=ef), 10).collect()
+        assert len(res) == 5 * 5, in_shard
+        selfs = {(r["query_id"], r["neighbor_id"]) for r in res if r["query_id"] == r["neighbor_id"]}
+        assert len(selfs) == 5, in_shard

@@ -227,3 +227,21 @@ def test_gp_beats_kmeans_on_manifold_rings(spark):
     assert gp_s >= km_s + 0.015
     assert gp_o >= km_o + 0.005
     pts.unpersist()
+
+
+def test_leftover_shard_placement_rule():
+    """A leftover vertex whose neighbors all sit in FULL shards must fall
+    through to the least-loaded shard, not the lowest-index open one; with
+    an open max-affinity shard, affinity wins; with no open shard at all,
+    least-loaded applies regardless of affinity."""
+    loads = np.array([14.0, 13.6, 15.5, 13.0])
+    cap = 15.6  # shards 1 and 3 open for w=2, shards 0 and 2 full
+    # neighbors only in the full shards 0/2 -> least-loaded open-agnostic
+    # fallback = shard 3, NOT the lowest-index open shard 1
+    assert P._leftover_shard(np.array([3.0, 0.0, 1.0, 0.0]), loads, 2.0, cap) == 3
+    # an open shard with positive affinity wins over lighter zero-affinity
+    assert P._leftover_shard(np.array([0.0, 1.0, 0.0, 0.0]), loads, 2.0, cap) == 1
+    # no shard open -> least-loaded even if affinity points elsewhere
+    assert P._leftover_shard(np.array([5.0, 0.0, 0.0, 0.0]), loads, 10.0, cap) == 3
+    # isolated vertex, open shards -> least-loaded
+    assert P._leftover_shard(np.zeros(4), loads, 2.0, cap) == 3
