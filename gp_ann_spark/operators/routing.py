@@ -563,9 +563,12 @@ def centroid_router(
     metric: str = "l2", policy: str = "min_dist",
 ) -> DataFrame:
     """Single-centroid-per-shard router (≙ the single-center routing baseline
-    analyze_approximation_losses.cpp:92-142): routing table = shard means."""
+    analyze_approximation_losses.cpp:92-142): routing table = shard means.
+    ``distributed=False`` is static knowledge, not a guess — the table has
+    one row per shard, so probing its size would just rerun the centroid
+    aggregation (a full-input job at scale) a second time."""
     cents = shard_centroids(points, assignment)
-    scored = score_routing_points(queries, cents, num_voting=None, metric=metric)
+    scored = score_routing_points(queries, cents, num_voting=None, metric=metric, distributed=False)
     return probe_order(scored, policy=policy)
 
 
@@ -585,7 +588,12 @@ def uniform_sample_router(
     (orderBy+limit compiles to a distributed TakeOrdered, no global sort
     shuffle; the reference uses std::sample with mt19937(420))."""
     rp = uniform_routing_table(points, assignment, budget, seed=seed)
-    scored = score_routing_points(queries, rp, num_voting=None, metric=metric)
+    # the table is ≤ budget rows by construction — decide the physical
+    # strategy from that instead of size-probing (and rescanning) the plan
+    scored = score_routing_points(
+        queries, rp, num_voting=None, metric=metric,
+        distributed=budget > MAX_BROADCAST_ROUTING_POINTS,
+    )
     return probe_order(scored, policy=policy)
 
 
@@ -675,11 +683,17 @@ def kmeans_tree_router(
     num_voting: int | None = 500,
     metric: str = "l2",
     policy: str = "frequency",
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Query the flat tree table: broadcast top-``num_voting`` scoring + vote
     (≙ KMeansTreeRouter::FrequencyQuery kmeans_tree_router.cpp:132-172 with
     frequency policy; ::Query :93-130 with min_dist policy — the PQ traversal
     collapses to exact top-K against all tree nodes, which dominates the
-    budgeted best-first search in recall at equal routing-point count)."""
-    scored = score_routing_points(queries, routing_points, num_voting=num_voting, metric=metric)
+    budgeted best-first search in recall at equal routing-point count).
+    ``distributed`` passes through to :func:`score_routing_points` — callers
+    that already counted the tree table should supply it so the scorer does
+    not re-probe the plan."""
+    scored = score_routing_points(
+        queries, routing_points, num_voting=num_voting, metric=metric, distributed=distributed
+    )
     return probe_order(scored, policy=policy)

@@ -73,6 +73,8 @@ def ivf_topk(
         cent_df,
         num_voting=n_cells,
         metric=metric,
+        # one row per cell — statically broadcast-sized, skip the size probe
+        distributed=False,
     )
     routes = RT.probe_order(scored, "min_dist").where(F.col("probe_rank") <= nprobe)
     results = S.search_pipeline(pts, assignment, qs, routes, k=k + 1, nprobes=nprobe, metric=metric)

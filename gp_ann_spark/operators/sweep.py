@@ -103,7 +103,12 @@ def iterate_routing_configs(
         ).localCheckpoint(eager=True)
         n_rp = rp.count()
         for nv in num_voting_list:
-            scored = RT.score_routing_points(queries, rp, num_voting=nv, metric=metric).localCheckpoint(eager=True)
+            scored = RT.score_routing_points(
+                queries, rp, num_voting=nv, metric=metric,
+                # n_rp is already counted off the checkpointed table — no
+                # size-probe job per (config, num_voting) grid cell
+                distributed=n_rp > RT.MAX_BROADCAST_ROUTING_POINTS,
+            ).localCheckpoint(eager=True)
             for policy in policies:
                 routes = RT.probe_order(scored, policy=policy)
                 fsr = R.first_shard_recall(gt, cover, routes, k, nq)
