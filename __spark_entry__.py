@@ -1178,11 +1178,18 @@ def oracle_sql() -> dict[str, str]:
               JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
               GROUP BY 1, 2
             ),
-            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1)
+            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1),
+            -- DENSE rank axis, matching recall_vs_probes: ranks with zero
+            -- newly-found neighbors still get a row carrying the cumulative
+            axis AS (SELECT DISTINCT probe_rank AS nprobes FROM routes),
+            dense AS (
+              SELECT a.nprobes, coalesce(pr.found, 0) AS found
+              FROM axis a LEFT JOIN pr ON a.nprobes = pr.nprobes
+            )
             SELECT nprobes,
                    round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
                          / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
-            FROM pr
+            FROM dense
         """,
         "routing_recall_curve_mips": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -1216,11 +1223,18 @@ def oracle_sql() -> dict[str, str]:
               JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
               GROUP BY 1, 2
             ),
-            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1)
+            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1),
+            -- DENSE rank axis, matching recall_vs_probes: ranks with zero
+            -- newly-found neighbors still get a row carrying the cumulative
+            axis AS (SELECT DISTINCT probe_rank AS nprobes FROM routes),
+            dense AS (
+              SELECT a.nprobes, coalesce(pr.found, 0) AS found
+              FROM axis a LEFT JOIN pr ON a.nprobes = pr.nprobes
+            )
             SELECT nprobes,
                    round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
                          / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
-            FROM pr
+            FROM dense
         """,
         "ivf_topk": f"""
             WITH cents AS (

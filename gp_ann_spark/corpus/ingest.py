@@ -115,9 +115,20 @@ def featurize(files: DataFrame, dim: int = DIM, seed: int = 42, id_col: str = "i
         F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.coalesce(F.col("m")[i], F.lit(0.0))).alias("raw"),
     )
     norm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda acc, v: acc + v * v))
-    return dense.select(
+    feat = dense.select(
         F.col(id_col).alias("id"),
         F.transform("raw", lambda v: (v / F.when(norm == 0.0, 1.0).otherwise(norm)).cast("float")).alias("vec"),
+    )
+    # TOTAL over the input: a document with zero non-whitespace tokens
+    # (empty __init__.py, .gitkeep) has no explode rows and would silently
+    # vanish — the streaming sink's committed-row-count == next_id
+    # invariant (torn-append detection) and the batch id assignment both
+    # assume one point row per input row. Such docs get the zero vector.
+    zero = F.array(*[F.lit(0.0).cast("float") for _ in range(dim)])
+    return (
+        files.select(F.col(id_col).alias("id"))
+        .join(feat, "id", "left")
+        .select("id", F.coalesce("vec", zero).alias("vec"))
     )
 
 

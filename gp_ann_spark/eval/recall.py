@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gp_ann_spark.checkpoint import release_local_checkpoint
 from gp_ann_spark.functions.windows import bounded_global_window
 
 from gp_ann_spark.functions.distances import sql_distance
@@ -28,8 +29,20 @@ def ground_truth(points: DataFrame, queries: DataFrame, k: int = 10, metric: str
 
 def distance_to_kth_neighbor(gt: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, threshold): the exact kth-NN distance
-    (≙ ComputeDistanceToKthNeighbor recall.h:10-23)."""
-    return gt.where(F.col("rank") == k).select("query_id", F.col("dist").alias("threshold"))
+    (≙ ComputeDistanceToKthNeighbor recall.h:10-23).
+
+    When a query's GT holds fewer than k rows (corpus smaller than k, or a
+    truncated GT file) the threshold is its LAST available rank — without
+    this, such queries lose their threshold row entirely and ``recall``'s
+    inner join silently scores them 0 while keeping them in the
+    denominator (a perfect result over a 5-point corpus at k=10 would
+    read 0.0)."""
+    w = Window.partitionBy("query_id")
+    return (
+        gt.withColumn("_maxr", F.max("rank").over(w))
+        .where(F.col("rank") == F.least(F.lit(k), F.col("_maxr")))
+        .select("query_id", F.col("dist").alias("threshold"))
+    )
 
 
 EPS_GRID = tuple(10.0**-e for e in range(1, 11))  # 1e-1 .. 1e-10
@@ -70,6 +83,10 @@ def validate_ground_truth(
         .drop("_pv", "_qv")
         .localCheckpoint(eager=True)
     )
+    # with_true is materialized and n_missing counted — the nq×k×vec
+    # intermediate has no further reader; keep the gate re-runnable in a
+    # long-lived session instead of accumulating dead cached blocks
+    release_local_checkpoint(joined)
     w_rank = Window.partitionBy("query_id").orderBy("rank")
     flags = (
         with_true.withColumn("_prev", F.lag("dist").over(w_rank))
@@ -99,7 +116,9 @@ def validate_ground_truth(
     repaired = with_true.withColumn("rank", F.row_number().over(w_true)).select(
         "query_id", "neighbor_id", F.col("true_dist").alias("dist"), "rank"
     )
-    thresholds = repaired.where(F.col("rank") == k).select("query_id", F.col("dist").alias("threshold"))
+    # same short-GT guard as distance_to_kth_neighbor: a query with < k
+    # repaired rows keeps its last-rank threshold instead of dropping out
+    thresholds = distance_to_kth_neighbor(repaired, k)
     return repaired, thresholds, report
 
 
@@ -145,7 +164,11 @@ def recall_vs_probes(
     A GT neighbor is found at the *first* probe_rank whose shard contains it
     (dedup across shards = min probe_rank, ≙ the `found` bitset in
     oracle_recall.cpp:21-27); the curve is the running sum over probe ranks.
-    Returns (nprobes, recall) with one row per probe rank.
+    Returns (nprobes, recall) with one row per probe rank — DENSE over the
+    routes' rank axis: a rank at which no new neighbor is first found still
+    gets a row carrying the cumulative recall forward (consumers reading a
+    1..P axis would otherwise see missing ranks as 0/NULL instead of the
+    carried value).
     """
     first_found = (
         gt.select("query_id", "neighbor_id")
@@ -155,8 +178,12 @@ def recall_vs_probes(
         .agg(F.min("probe_rank").alias("first_probe"))
     )
     per_rank = first_found.groupBy(F.col("first_probe").alias("nprobes")).agg(F.count(F.lit(1)).alias("found"))
+    axis = routes.select(F.col("probe_rank").alias("nprobes")).distinct()
+    dense = axis.join(per_rank, "nprobes", "left").select(
+        "nprobes", F.coalesce(F.col("found"), F.lit(0)).alias("found")
+    )
     w = bounded_global_window("nprobes").rowsBetween(Window.unboundedPreceding, 0)
-    return per_rank.withColumn("recall", F.sum("found").over(w) / (n_queries * k)).select("nprobes", "recall")
+    return dense.withColumn("recall", F.sum("found").over(w) / (n_queries * k)).select("nprobes", "recall")
 
 
 def first_shard_recall(gt: DataFrame, cover: DataFrame, routes: DataFrame, k: int, n_queries: int) -> float:

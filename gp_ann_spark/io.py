@@ -38,8 +38,17 @@ def read_assignment(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_metis_partition(assignment: DataFrame, path: str) -> None:
-    """≙ WriteMetisPartition (metis_io.cpp:18-24): line i = shard of point i."""
-    rows = assignment.orderBy("id").select("shard").collect()
+    """≙ WriteMetisPartition (metis_io.cpp:18-24): line i = shard of point i.
+    The format is positional, so ids MUST be dense 0..n-1 — validated loudly
+    (like write_ground_truth_bin) instead of silently writing a file whose
+    reader remaps every id above a gap to the wrong point."""
+    rows = assignment.orderBy("id").select("id", "shard").collect()
+    if rows and (int(rows[0]["id"]) != 0 or int(rows[-1]["id"]) != len(rows) - 1):
+        raise ValueError(
+            f"write_metis_partition needs dense ids 0..{len(rows) - 1}; got "
+            f"min={rows[0]['id']} max={rows[-1]['id']} over {len(rows)} rows — "
+            "the positional format cannot represent gaps."
+        )
     with open(path, "w") as f:
         for r in rows:
             f.write(f"{r['shard']}\n")
@@ -84,7 +93,11 @@ def read_clusters(spark: SparkSession, path: str) -> DataFrame:
 
 def write_metis_graph(edges: DataFrame, path: str) -> None:
     """≙ WriteMetisGraph (metis_io.cpp:26-38): symmetric graph, 1-indexed
-    adjacency lines, header 'n m'; asserts the even-edge-count invariant."""
+    adjacency lines, header 'n m'; asserts the even-edge-count invariant.
+    Self-loops are dropped first — METIS has no representation for them, and
+    a (v, v) row survives the symmetrize-distinct as ONE directed edge,
+    tripping the even-count assert on an otherwise valid graph."""
+    edges = edges.where(F.col("src") != F.col("dst"))
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -189,8 +202,17 @@ def read_ground_truth(spark: SparkSession, path: str) -> DataFrame:
     ``open()`` cannot."""
     import os
 
-    if path.endswith(".bin") or os.path.isfile(path):
+    if path.endswith(".bin"):
         return read_ground_truth_bin(spark, path)
+    if os.path.isfile(path):
+        # a single local file can be EITHER the reference's binary layout or
+        # a one-file Parquet (pandas/duckdb/arrow writers) — sniff the PAR1
+        # magic instead of unpacking parquet bytes as (nq, k) (which reads
+        # ~8e8 and attempts a multi-hundred-GB allocation)
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        if magic != b"PAR1":
+            return read_ground_truth_bin(spark, path)
     return spark.read.parquet(path)
 
 

@@ -224,6 +224,28 @@ def simhash_near_pairs(sims: DataFrame, band_bits: int = SIMHASH_BAND_BITS) -> D
     return l_.join(r_, "band").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
 
 
+def _verify_cosine(
+    pairs: DataFrame, embeddings: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact float64 Catalyst cosine over an (id_a, id_b) candidate relation:
+    vector equi-joins + zip_with/aggregate dot products, round 6 dp, filter
+    ≥ threshold. The SINGLE definition shared by the brute-force oracle and
+    the LSH verify stage — the "LSH ⊆ exact" precision gate relies on both
+    computing bit-identical similarities."""
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = sql_inner_product(F.col("_va"), F.col("_vb"))
+    na = F.sqrt(sql_inner_product(F.col("_va"), F.col("_va")))
+    nb = F.sqrt(sql_inner_product(F.col("_vb"), F.col("_vb")))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(dot / (na * nb), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
@@ -233,17 +255,11 @@ def embedding_neardup_pairs(
     ``embedding_neardup_blocked`` (exact, block-grid BLAS) and
     ``embedding_neardup_lsh`` (approximate, sign-LSH candidates).
     Returns (id_a, id_b, cos_sim) rounded to 6 dp."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    dot = sql_inner_product(F.col("_va"), F.col("_vb"))
-    na = F.sqrt(sql_inner_product(F.col("_va"), F.col("_va")))
-    nb = F.sqrt(sql_inner_product(F.col("_vb"), F.col("_vb")))
-    return (
-        pairs.withColumn("cos_sim", F.round(dot / (na * nb), 6))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+    ids = embeddings.select(F.col(id_col).alias("id_a"))
+    pairs = ids.crossJoin(embeddings.select(F.col(id_col).alias("id_b"))).where(
+        F.col("id_a") < F.col("id_b")
     )
+    return _verify_cosine(pairs, embeddings, threshold, id_col, vec_col)
 
 
 def embedding_neardup_blocked(
@@ -324,13 +340,22 @@ def embedding_simhash_bands(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 555,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, band) relation: sign-LSH over the embedding — bit j of the
     signature is the sign of coordinate perm(j) (deterministic seeded
     dimension assignment), grouped into ``n_bands`` bands of ``band_bits``
     bits. Docs within a small angle agree on most signs, so near pairs
-    collide in ≥1 band with high probability."""
-    dim_of = lambda bit: (bit * 2654435761 + seed) % 64  # noqa: E731 — seeded perm
+    collide in ≥1 band with high probability.
+
+    ``dim`` is the embedding dimensionality; when None it is read from the
+    first row (one tiny action). Hardcoding 64 here used to crash (ANSI
+    element_at out-of-bounds) or, with ANSI off, silently NULL-collapse the
+    band keys toward constants for any non-64-dim corpus."""
+    if dim is None:
+        row = embeddings.select(F.size(F.col(vec_col))).first()
+        dim = int(row[0]) if row else 1
+    dim_of = lambda bit: (bit * 2654435761 + seed) % dim  # noqa: E731 — seeded perm
     bands = F.array(
         *[
             F.concat_ws(
@@ -370,15 +395,4 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    dot = sql_inner_product(F.col("_va"), F.col("_vb"))
-    na = F.sqrt(sql_inner_product(F.col("_va"), F.col("_va")))
-    nb_ = F.sqrt(sql_inner_product(F.col("_vb"), F.col("_vb")))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(dot / (na * nb_), 6))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return _verify_cosine(cand, embeddings, threshold, id_col, vec_col)

@@ -53,6 +53,21 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 32, salt_src: str | Non
     return partial.groupBy(key).agg(F.sum("_c").alias("count"))
 
 
+def _symmetrized_cached(edges: DataFrame) -> DataFrame:
+    """Undirected view of the edge table, partitioned on src and cached —
+    the per-superstep join input shared by CC and LP. Materialized eagerly
+    so every superstep reuses the one shuffle; callers own the unpersist."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    sym.count()
+    return sym
+
+
 # ------------------------------------------------------------------ PageRank
 def pagerank(
     edges: DataFrame,
@@ -73,8 +88,11 @@ def pagerank(
     that moves data proportional to |E| happened once at setup.
 
     ``tol <= 0`` selects fixed-iteration mode: no per-superstep convergence
-    action at all (supersteps pipeline lazily between checkpoints — at scale
-    the per-iteration driver round-trips are pure overhead).
+    action at all; dangling-free graphs (every k-NN graph) pipeline lazily
+    between checkpoints, while graphs WITH dangling vertices materialize
+    each superstep once (their mass aggregate makes the plan read the rank
+    state twice — see the loop comment). Either way the dangling mass stays
+    in the plan as a broadcast 1-row aggregate, never a driver collect.
     """
     spark = edges.sparkSession
     cp = checkpointer or SuperstepCheckpointer(None, "pagerank")
@@ -104,14 +122,9 @@ def pagerank(
         it0 = 1
 
     n_iter = it0 - 1
+    base_const = (1.0 - damping) / n
     for it in range(it0, max_iter + 1):
         n_iter = it
-        dangling_mass = 0.0
-        if has_dangling:
-            dangling_mass = (
-                ranks.join(dangling.select("id"), "id", "left_semi").agg(F.sum("pagerank")).collect()[0][0] or 0.0
-            )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
         # one shuffle per superstep: contributions ∪ zero-rows-for-all-verts
         # → a single partial/final sum by id (replaces groupBy(dst) + a
         # second left-join-with-verts shuffle)
@@ -120,15 +133,41 @@ def pagerank(
             .select(F.col("dst").alias("id"), (F.col("pagerank") / F.col("outdeg")).alias("c"))
         )
         zero_rows = verts.select("id", F.lit(0.0).alias("c"))
-        new_ranks = (
-            contrib_rows.unionByName(zero_rows)
-            .groupBy("id")
-            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pagerank"))
-        )
+        summed = contrib_rows.unionByName(zero_rows).groupBy("id").agg(F.sum("c").alias("_s"))
+        if has_dangling:
+            # dangling mass stays IN the plan as a broadcast 1-row aggregate
+            # — a driver-side collect here would be an action per superstep
+            # that, in fixed-iteration mode, re-executes every lazy join
+            # since the last checkpoint (the mode's whole point is zero
+            # per-superstep actions). Same arithmetic order as the scalar
+            # form: (base + d·dm/n) + d·Σc, so values are bit-unchanged.
+            dm = (
+                ranks.join(dangling.select("id"), "id", "left_semi")
+                .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dm"))
+            )
+            new_ranks = summed.crossJoin(F.broadcast(dm)).select(
+                "id",
+                (
+                    F.lit(base_const)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                    + F.lit(damping) * F.col("_s")
+                ).alias("pagerank"),
+            )
+        else:
+            new_ranks = summed.select(
+                "id", (F.lit(base_const) + F.lit(damping) * F.col("_s")).alias("pagerank")
+            )
         if fixed_iters:
             # no convergence action; truncate lineage only every few steps
             if it % checkpoint_every == 0 or it == max_iter:
                 ranks = cp.save(new_ranks, it, {"delta": None})
+            elif has_dangling:
+                # the dangling plan reads `ranks` twice (contributions +
+                # mass aggregate): materialize each superstep once, or lazy
+                # pipelining re-executes the window 2^k times through the
+                # dual reference. Dangling-free graphs (k-NN: every vertex
+                # has out-edges) keep the fully lazy pipeline below.
+                ranks = swap_checkpoint(new_ranks, ranks)
             else:
                 ranks = new_ranks
             continue
@@ -186,14 +225,7 @@ def connected_components(
     """
     spark = edges.sparkSession
     cp = checkpointer or SuperstepCheckpointer(None, "cc")
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("src")
-        .cache()
-    )
-    sym.count()
+    sym = _symmetrized_cached(edges)
 
     start = cp.latest()
     if start is not None:
@@ -251,14 +283,7 @@ def label_propagation(
     """
     spark = edges.sparkSession
     cp = checkpointer or SuperstepCheckpointer(None, "lp")
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("src")
-        .cache()
-    )
-    sym.count()
+    sym = _symmetrized_cached(edges)
 
     start = cp.latest()
     if start is not None:
@@ -324,11 +349,20 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
     wedges = e1.join(e2, "y").select("x", "y", "z")
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tris = wedges.join(closing, ["x", "z"])
+    # materialize the result eagerly so the 3×-reused oriented cache can be
+    # released HERE — a lazily returned plan would pin it in executor
+    # storage for the session's lifetime (the other graph ops all unpersist
+    # their cached edge frames before returning)
+    spark = edges.sparkSession
     if not per_vertex:
-        return tris.agg(F.count(F.lit(1)).alias("triangles"))
+        n_tris = tris.agg(F.count(F.lit(1)).alias("triangles")).collect()[0][0]
+        oriented.unpersist()
+        return spark.createDataFrame([(int(n_tris),)], "triangles long")
     corners = (
         tris.select(F.col("x").alias("id"))
         .unionByName(tris.select(F.col("y").alias("id")))
         .unionByName(tris.select(F.col("z").alias("id")))
     )
-    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    res = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles")).localCheckpoint(eager=True)
+    oriented.unpersist()
+    return res

@@ -87,11 +87,17 @@ def hierarchical_kmeans(
         keep = asn.join(F.broadcast(big.select("leaf")), "leaf", "left_anti")
         asn = swap_checkpoint(keep.select("id", "leaf").unionByName(new_big), asn)
 
-    # densify leaf ids + centroids (partial/final mean via shard_centroids)
-    dense = asn.select("leaf").distinct().withColumn(
-        "_n", F.row_number().over(bounded_global_window("leaf")) - 1
-    )
-    asn = asn.join(F.broadcast(dense), "leaf").select("id", F.col("_n").cast("long").alias("leaf"))
+    # densify leaf ids + centroids (partial/final mean via shard_centroids).
+    # dense_ids = range-repartition + broadcast prefix sums: the distinct
+    # leaf table is row-proportional (~n/target_leaf_size), so a global
+    # row_number window here would be the single-partition scale-killer
+    # windows.py warns about
+    from gp_ann_spark.corpus.ingest import dense_ids
+
+    dense = dense_ids(asn.select("leaf").distinct(), order_col="leaf").withColumnRenamed("id", "_n")
+    # no broadcast hint: the leaf table is row-proportional too — let AQE
+    # pick broadcast vs shuffle from its measured size
+    asn = asn.join(dense, "leaf").select("id", F.col("_n").cast("long").alias("leaf"))
     from gp_ann_spark.operators.routing import shard_centroids
 
     cents = shard_centroids(points, asn.select("id", F.col("leaf").alias("shard")))
@@ -126,6 +132,13 @@ def pyramid_partition(
     ``our_pyramid_partition``'s leaf-centroid index).
     """
     n = points.count()
+    if num_shards > n_aggregates:
+        raise ValueError(
+            f"pyramid_partition: num_shards={num_shards} > n_aggregates={n_aggregates} — "
+            "points can only be routed to shards that own aggregates, so at least "
+            f"{num_shards - n_aggregates} shards would be unreachable. Raise n_aggregates "
+            "(the reference uses 10k aggregates for 40 shards, partitioning.cpp:276)."
+        )
     cap = P.max_cluster_size(n, num_shards, eps)
     w = F.xxhash64("id", F.lit(seed))
     sample = points.orderBy(w).limit(min(sample_cap, n))
@@ -163,6 +176,17 @@ def pyramid_partition(
         )
         placed2 = KM.capacity_fill(all_shard, caps_df)
         placed = placed.select("id", "shard").unionByName(placed2.select("id", "shard"))
+    # loud stranded-point check (matching balanced_lloyd's RuntimeError
+    # style): if the shards reachable through aggregates lack capacity —
+    # e.g. the graph partitioner left some shards without aggregates —
+    # silently returning a partial assignment would lose data downstream
+    n_placed = placed.count()
+    if n_placed != n:
+        raise RuntimeError(
+            f"pyramid_partition stranded {n - n_placed} of {n} points: the shards "
+            "reachable via aggregates are at capacity. Raise n_aggregates so every "
+            "shard owns aggregates, or relax eps."
+        )
     routing_index = spark.createDataFrame(
         [(int(i), int(s), [float(x) for x in c]) for i, (s, c) in enumerate(zip(shard_of, centroids))],
         "agg long, shard int, vec array<float>",

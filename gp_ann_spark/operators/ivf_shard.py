@@ -196,7 +196,11 @@ def ivf_search(
     C, order, starts, ends, primary = index
     Q = np.asarray(Q, dtype=np.float64)
     X = np.asarray(X, dtype=np.float64)
-    nq, d = Q.shape if Q.ndim == 2 else (len(Q), X.shape[1])
+    if Q.ndim == 1:
+        # a single query vector: treat as one row — the old fallback read
+        # nq = d and crashed with an AxisError deep in the blocked loop
+        Q = Q[None, :]
+    nq, d = Q.shape
     out_idx: list = [None] * nq
     out_dist: list = [None] * nq
     if nq == 0:

@@ -33,13 +33,6 @@ from gp_ann_spark.functions.distances import distance_matrix, pos_distance_matri
 SEED = 555  # the reference's algorithm seed (kmeans.cpp:19 via partition.cpp:14)
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) if len(pdf) else np.zeros((0, 1))
-    return ids, vecs
-
-
 def seeded_sample_centroids(points: DataFrame, k: int, seed: int = SEED) -> np.ndarray:
     """Deterministic k-row sample: the k smallest xxhash64(id, seed) — a
     seeded 'random' draw that is partition-independent and needs no global
@@ -521,7 +514,9 @@ def balanced_kmeans_bkm(
         sizes = sizes_of(assignment)
 
         # centroid update + objective on the new assignment
-        centroids, sizes_arr, objective = _superstep_given_assignment(pts, assignment, k_eff, metric)
+        centroids, sizes_arr, objective = _superstep_given_assignment(
+            pts, assignment, k_eff, metric, prev_centroids=centroids
+        )
         min_pen_needed = moves.agg(F.min("pen_needed")).collect()[0][0]
         release_local_checkpoint(moves)
 
@@ -541,6 +536,14 @@ def balanced_kmeans_bkm(
             break
 
     final = best_balanced if best_balanced is not None else assignment
+    if final is not assignment:
+        # `centroids` tracks the LAST round's assignment; the chosen best
+        # may be from an earlier round — re-derive its own centroids so the
+        # enforcement's keep/spill ranking and the returned (centroids,
+        # assignment) pair are mutually consistent
+        centroids, _, _ = _superstep_given_assignment(
+            pts, final, k_eff, metric, prev_centroids=centroids
+        )
     # hard enforcement (≙ kmeans.cpp:494-515)
     _, enforced = _enforce_cap(pts, final, centroids, max_cluster_size, metric)
     pts.unpersist()
@@ -548,10 +551,16 @@ def balanced_kmeans_bkm(
 
 
 def _superstep_given_assignment(
-    pts: DataFrame, assignment: DataFrame, k: int, metric: str
+    pts: DataFrame, assignment: DataFrame, k: int, metric: str,
+    prev_centroids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """Centroid means + objective for a FIXED assignment (partial/final agg,
-    ≙ AggregateClustersParallel kmeans.cpp:151-204 + ObjectiveValue :246)."""
+    ≙ AggregateClustersParallel kmeans.cpp:151-204 + ObjectiveValue :246).
+
+    A cluster with no members keeps its ``prev_centroids`` row (matching
+    ``_superstep``'s empty-cluster rule) — zeroing it would park the
+    centroid at the origin, where normalized corpora score every point at
+    distance 1 and the penalty schedule dumps arbitrary points into it."""
     d = len(pts.select("vec").first()[0])
     joined = pts.join(assignment, "id").select("shard", "vec")
 
@@ -573,7 +582,7 @@ def _superstep_given_assignment(
         .agg(F.sum("cnt").alias("cnt"), *[F.sum(F.col("sums")[i]).alias(f"s{i}") for i in range(d)])
         .toPandas()
     )
-    C = np.zeros((k, d))
+    C = prev_centroids.copy() if prev_centroids is not None else np.zeros((k, d))
     sizes = np.zeros(k, dtype=np.int64)
     for _, row in agg.iterrows():
         j = int(row["shard"])

@@ -86,17 +86,25 @@ def exact_knn(
     tie-break by neighbor_id. ≙ recall.h:25-39 / knn_graph.h:14-28.
     """
     spark = points.sparkSession
-    qpd = queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qvec")).toPandas()
     # the query batch is the BROADCAST side — that is the operator's scale
     # contract. Refuse silently-OOM-at-2am sizes instead of honoring them:
     # self-joins over the full corpus belong to knn_approx.build_knn_graph.
+    # The limit BOUNDS the driver collect at cap+1 rows — an over-cap input
+    # raises here without first materializing all of it driver-side.
     max_q = int(os.environ.get("SPARK_GRAFT_MAX_BROADCAST_QUERIES", "4000000"))
+    qpd = (
+        queries.select(F.col(q_id_col).alias("qid"), F.col(q_vec_col).alias("qvec"))
+        .limit(max_q + 1)
+        .toPandas()
+    )
     if len(qpd) > max_q:
         raise ValueError(
-            f"exact_knn broadcasts the query side; {len(qpd)} queries exceed the "
-            f"{max_q} cap (SPARK_GRAFT_MAX_BROADCAST_QUERIES). For corpus-scale "
+            f"exact_knn broadcasts the query side; >{max_q} queries exceed the "
+            f"cap (SPARK_GRAFT_MAX_BROADCAST_QUERIES). For corpus-scale "
             "self-kNN use knn_approx.build_knn_graph (the sketch path)."
         )
+    if len(qpd) == 0:
+        return spark.createDataFrame([], KNN_SCHEMA + ", rank int")
     q_ids = qpd["qid"].to_numpy()
     q_vecs = np.stack(qpd["qvec"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((q_ids, q_vecs))

@@ -244,6 +244,7 @@ def build_knn_graph(
             big = sizes.where(F.col("n") > max_cluster_size)
             n_big = big.count()
             if n_big == 0:
+                release_local_checkpoint(sizes)  # break path must release too
                 break
             big_pts = pts.join(big.select("bucket"), "bucket", "left_semi")
             done_pts = pts.join(big.select("bucket"), "bucket", "left_anti")
@@ -315,5 +316,8 @@ def bucket_size_stats(bucketed: DataFrame) -> DataFrame:
 def graph_recall(approx_edges: DataFrame, exact_edges: DataFrame) -> float:
     """Fraction of exact k-NN edges recovered by the approximate graph
     (≙ GraphRecall graph_quality_benchmark.cpp:53-66): |A ∩ E| / |E|."""
+    n_exact = exact_edges.count()
+    if n_exact == 0:
+        return 1.0  # vacuous: no exact edges to recover (0/1-point corpus)
     inter = approx_edges.select("src", "dst").join(exact_edges.select("src", "dst"), ["src", "dst"], "left_semi").count()
-    return inter / exact_edges.count()
+    return inter / n_exact

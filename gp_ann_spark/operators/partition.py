@@ -176,13 +176,19 @@ def _lp_coarsen_level(edges: DataFrame, weights: DataFrame, cap: int, rounds: in
         gated = cand.withColumn("_cum", F.sum("w").over(w_cap)).withColumn(
             "label", F.when(F.col("_cum") <= cap, F.col("cand")).otherwise(F.col("label"))
         )
-        # checkpoint INTERMEDIATE rounds (they are read twice by the next
-        # round's joins); leave the final round lazy — the caller
-        # materializes the level output itself, so an eager checkpoint here
-        # would be a duplicate job per level
+        # checkpoint every round, INCLUDING the final one: materializing the
+        # level output here (instead of leaving it lazy for the caller to
+        # checkpoint) lets swap_checkpoint release the last intermediate —
+        # a lazily returned final round would pin that internal checkpoint
+        # with no handle for anyone to free, leaking one cached RDD per
+        # coarsening level for the session's lifetime
         nxt = gated.select("id", "label", "w")
-        labels = nxt if _ == rounds - 1 else swap_checkpoint(nxt, labels if _ > 0 else None)
-    return labels.select("id", "label")
+        if _ == rounds - 1:
+            final = nxt.select("id", "label").localCheckpoint(eager=True)
+            release_local_checkpoint(labels if _ > 0 else None)
+            return final
+        labels = swap_checkpoint(nxt, labels if _ > 0 else None)
+    return labels.select("id", "label")  # rounds == 0: identity labelling
 
 
 def coarsen_graph(
@@ -204,7 +210,7 @@ def coarsen_graph(
         if n <= target:
             break
         cap = max(int(total_w / max(target // 4, 1)), 2)
-        lab = _lp_coarsen_level(cur_edges, cur_w, cap).localCheckpoint(eager=True)
+        lab = _lp_coarsen_level(cur_edges, cur_w, cap)  # returns its own checkpoint
         # shrinkage count comes FREE from materializing the contracted
         # weights (row count == distinct labels) — no separate distinct job
         new_w = lab.join(cur_w, "id").groupBy(F.col("label").alias("id")).agg(
@@ -342,6 +348,34 @@ def _grow_once(adj, wts, order, num_shards: int, cap: float, rng):
             s = _leftover_shard(conn, loads, wts[v], cap)
             part[v] = s
             loads[s] += wts[v]
+    # drain pass: the leftover fallback places into the least-loaded shard
+    # even when that breaches cap (something must take the vertex). Repair
+    # by moving the LIGHTEST vertices off overfull shards into shards with
+    # room — zero/negative cut gain allowed, balance beats cut here. The
+    # KL refinement below can't do this (it only takes positive-gain moves
+    # within cap, so an overfull shard stays overfull). No-op when every
+    # load ≤ cap; genuinely infeasible instances (one vertex heavier than
+    # cap, no destination with room) keep their best-effort placement.
+    for s in range(num_shards):
+        if loads[s] <= cap:
+            continue
+        members = sorted((int(v) for v in np.flatnonzero(part == s)), key=lambda v: wts[v])
+        for v in members:
+            if loads[s] <= cap:
+                break
+            conn = np.zeros(num_shards)
+            for u, w in adj[v].items():
+                conn[part[u]] += w
+            room = loads + wts[v] <= cap
+            room[s] = False
+            if not room.any():
+                continue
+            masked = np.where(room, conn, -np.inf)
+            cand = np.flatnonzero(masked == masked.max())
+            tgt = int(cand[np.argmin(loads[cand])])  # max affinity, then least load
+            part[v] = tgt
+            loads[tgt] += wts[v]
+            loads[s] -= wts[v]
     # boundary KL-ish refinement: best single-vertex moves while balance holds
     for _ in range(10):
         moved = 0
@@ -415,6 +449,9 @@ def refine_partition(
             asn,
         )
         release_local_checkpoint(movers)
+    # the returned asn checkpoint is the caller's to consume; the sym edge
+    # view was only ever this loop's join input — free its blocks here
+    release_local_checkpoint(sym)
     return asn
 
 

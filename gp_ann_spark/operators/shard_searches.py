@@ -67,9 +67,25 @@ def run_in_shard_searches(
             t0 = time.perf_counter()
             d = distance_matrix(Q, X, metric)
             kk = min(k, d.shape[1])
-            idx = np.argpartition(d, kk - 1, axis=1)[:, :kk] if kk < d.shape[1] else np.argsort(d, axis=1)
-            order = np.take_along_axis(d, idx, axis=1).argsort(axis=1, kind="stable")
-            idx = np.take_along_axis(idx, order, axis=1)
+            if kk < d.shape[1]:
+                # canonical (dist, id) selection like probe_shards/ivf_search:
+                # argpartition's pick among candidates tied AT the k-th
+                # distance is layout-arbitrary — a GT neighbor tied at the
+                # boundary could be silently swapped for its twin. Rows with
+                # boundary ties (rare) re-rank against the full row.
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                sel_d = np.take_along_axis(d, part, axis=1)
+                order = np.lexsort((part, sel_d), axis=-1)
+                idx = np.take_along_axis(part, order, axis=1)
+                kth = sel_d.max(axis=1)
+                tied = (d <= kth[:, None]).sum(axis=1) > kk
+                if tied.any():
+                    dt = d[tied]
+                    cols = np.broadcast_to(np.arange(dt.shape[1]), dt.shape)
+                    idx[tied] = np.lexsort((cols, dt), axis=-1)[:, :kk]
+            else:
+                cols = np.broadcast_to(np.arange(d.shape[1]), d.shape)
+                idx = np.lexsort((cols, d), axis=-1)
             times.append(time.perf_counter() - t0)
         per_query = float(np.median(times)) / len(Q)
         return pd.DataFrame(
@@ -210,14 +226,26 @@ def _replica_qps(
         return 0.0, 0.0
     hosts_n = num_hosts or (len(work) + extra_hosts)
     loads = sorted(work.values(), reverse=True)
-    replicas = {i: 1 for i in range(len(loads))}
-    budget = hosts_n - len(loads)
-    while budget > 0:
-        eff = [(loads[i] / replicas[i], i) for i in range(len(loads))]
-        _, i = max(eff)
-        replicas[i] += 1
-        budget -= 1
-    max_load = max(loads[i] / replicas[i] for i in range(len(loads)))
+    if hosts_n >= len(loads):
+        replicas = {i: 1 for i in range(len(loads))}
+        budget = hosts_n - len(loads)
+        while budget > 0:
+            eff = [(loads[i] / replicas[i], i) for i in range(len(loads))]
+            _, i = max(eff)
+            replicas[i] += 1
+            budget -= 1
+        max_load = max(loads[i] / replicas[i] for i in range(len(loads)))
+    else:
+        # fewer hosts than shards: PACK heaviest shard → least-loaded host
+        # (the greedy the docstring promises) — without this the model
+        # silently used one host per shard and overstated QPS
+        import heapq
+
+        h = [0.0] * hosts_n
+        heapq.heapify(h)
+        for w in loads:
+            heapq.heappush(h, heapq.heappop(h) + w)
+        max_load = max(h)
     denom = max_load + routing_time_s / hosts_n
     return (n_queries / denom if denom > 0 else float("inf")), max_load
 

@@ -80,9 +80,15 @@ def ivf_topk(
     results = S.search_pipeline(pts, assignment, qs, routes, k=k + 1, nprobes=nprobe, metric=metric)
     # a self-query always finds itself in its own cell — drop and re-rank
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         results.where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+    # materialize the (nq × k, three ints) result eagerly so the 3×-reused
+    # pts cache can be released HERE — a lazily returned plan would pin it
+    # in executor storage for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    return out

@@ -110,7 +110,11 @@ def iterate_routing_configs(
                 distributed=n_rp > RT.MAX_BROADCAST_ROUTING_POINTS,
             ).localCheckpoint(eager=True)
             for policy in policies:
-                routes = RT.probe_order(scored, policy=policy)
+                # checkpoint the (small, nq×shards) routes relation so the
+                # (bigger) scored checkpoint can be released per grid cell —
+                # a full reference-shaped grid (~10 budgets × 7 nv) would
+                # otherwise pin ~80 scored/routing tables for the session
+                routes = RT.probe_order(scored, policy=policy).localCheckpoint(eager=True)
                 fsr = R.first_shard_recall(gt, cover, routes, k, nq)
                 out.append(
                     {
@@ -123,6 +127,8 @@ def iterate_routing_configs(
                         "routes": routes,
                     }
                 )
+            release_local_checkpoint(scored)
+        release_local_checkpoint(rp)
     rr = random_routes(queries, num_shards, seed).localCheckpoint(eager=True)
     out.append(
         {

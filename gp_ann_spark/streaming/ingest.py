@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gp_ann_spark.corpus.ingest import dense_ids, featurize
+from gp_ann_spark.corpus.ingest import dedup_files, dense_ids, featurize
 from gp_ann_spark.operators.knn import deg_kth, incremental_knn_delta, knn_edges, merge_topk
 
 REPO_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -358,14 +358,10 @@ def ingest_stream(
     bucket = edges_sink.bucket_expr
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # 1. content-hash dedup WITHIN the batch (keep lexicographically
-        #    first provenance, like corpus.dedup_files) ...
-        hashed = batch_df.withColumn("sha256", F.sha2(F.col("content"), 256))
-        batch_unique = (
-            hashed.groupBy("sha256")
-            .agg(F.min(F.struct("repo", "path", "lang", "content")).alias("rep"))
-            .select("sha256", F.col("rep.content").alias("content"))
-        )
+        # 1. content-hash dedup WITHIN the batch — the ONE definition of the
+        #    keep-first-provenance rule (corpus.dedup_files), so the batch
+        #    and streaming paths cannot silently diverge ...
+        batch_unique = dedup_files(batch_df).select("sha256", "content")
         # 2. ... and against the sink (anti-join on the hash — state lives in
         #    the sink, not the state store). The sink is hash-bucketed by
         #    pbucket = pmod(xxhash64(sha256), n_buckets), so the anti-join

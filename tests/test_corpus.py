@@ -99,3 +99,17 @@ def test_metis_graph_write(spark, tmp_path):
     lines = open(p).read().splitlines()
     assert lines[0] == "3 2"
     assert lines[1] == "2" and lines[2] == "1 3" and lines[3] == "2"
+
+
+def test_featurizer_total_over_empty_content(spark):
+    """featurize emits one row per input row — zero-token contents get the
+    zero vector instead of silently vanishing from the output."""
+    from gp_ann_spark.corpus.ingest import featurize
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "   \t  ")], "id long, content string"
+    )
+    out = {r["id"]: r["vec"] for r in featurize(df, dim=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(v == 0.0 for v in out[1]) and all(v == 0.0 for v in out[2])
+    assert any(v != 0.0 for v in out[0])

@@ -140,3 +140,29 @@ def test_mips_lloyd_matches_simulator_end_to_end(spark, rng):
     labels = {r["id"]: r["shard"] for r in asn.collect()}
     expect = (1.0 - X @ Cn.T).argmin(axis=1)
     assert all(labels[i] == expect[i] for i in range(len(X)))
+
+
+def test_superstep_given_assignment_keeps_empty_cluster_centroid(spark, rng):
+    """A cluster with no members keeps its previous centroid (matching
+    _superstep's rule) — zeroing it parks the centroid at the origin, where
+    normalized corpora score every point at distance 1 and the BKM penalty
+    schedule dumps arbitrary points into it."""
+    X = rng.normal(size=(12, 4)).astype(np.float32)
+    pts = make_points_df(spark, X)
+    # clusters 0 and 1 populated, cluster 2 empty
+    asn = pts.select("id", (F.col("id") % 2).cast("int").alias("shard"))
+    prev = np.arange(12, dtype=np.float64).reshape(3, 4)
+    C, sizes, _obj = KM._superstep_given_assignment(pts, asn, 3, "l2", prev_centroids=prev)
+    assert sizes[2] == 0
+    assert np.array_equal(C[2], prev[2])
+    assert not np.array_equal(C[0], prev[0])  # populated clusters do update
+
+
+def test_pyramid_refuses_more_shards_than_aggregates(spark, rng):
+    import pytest
+    from gp_ann_spark.operators import hierarchical as H
+
+    X = rng.normal(size=(40, 4)).astype(np.float32)
+    pts = make_points_df(spark, X)
+    with pytest.raises(ValueError, match="unreachable"):
+        H.pyramid_partition(pts, num_shards=16, n_aggregates=8)

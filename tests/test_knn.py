@@ -56,3 +56,15 @@ def test_merge_topk_dedups_and_bounds(spark):
     df = spark.createDataFrame(rows, "src long, dst long, weight double")
     out = knn.merge_topk(df, k=2).orderBy("src", "weight").collect()
     assert [(r["src"], r["dst"], r["weight"]) for r in out] == [(1, 3, 0.1), (1, 4, 0.2), (2, 1, 0.9)]
+
+
+def test_exact_knn_empty_query_set(spark, rng):
+    """An empty query batch yields an empty (schema-stable) result, not a
+    np.stack ValueError — delta/streaming paths delegate here with
+    possibly-empty batches."""
+    X = rng.normal(size=(20, 4)).astype(np.float32)
+    pts = make_points_df(spark, X)
+    qs = pts.select(F.col("id").alias("query_id"), "vec").where(F.lit(False))
+    res = knn.exact_knn(pts, qs, k=3)
+    assert res.columns == ["query_id", "neighbor_id", "dist", "rank"]
+    assert res.count() == 0

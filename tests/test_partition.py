@@ -245,3 +245,21 @@ def test_leftover_shard_placement_rule():
     assert P._leftover_shard(np.array([5.0, 0.0, 0.0, 0.0]), loads, 10.0, cap) == 3
     # isolated vertex, open shards -> least-loaded
     assert P._leftover_shard(np.zeros(4), loads, 2.0, cap) == 3
+
+
+def test_grow_once_drains_overfull_leftover_shard():
+    """The leftover fallback places into the least-loaded shard even when
+    that breaches cap (something must take the vertex); the drain pass must
+    repair it whenever a feasible move exists. Instance: weights [6,8,3,1],
+    2 shards, cap 9.45, a decoy edge (v0-v3, w=100) so the v0-first growth
+    grabs v3 early and strands v2 — its leftover placement lands on the
+    load-7 shard (-> 10 > cap); draining the lightest member (v3) to the
+    other shard restores both loads to 9, and the KL refinement cannot
+    undo it (moving v3 back would breach cap again)."""
+    wts = np.array([6.0, 8.0, 3.0, 1.0])
+    adj = [{3: 100.0}, {}, {}, {0: 100.0}]
+    order = np.array([0, 1, 2, 3])
+    part, loads = P._grow_once(adj, wts, order, 2, 9.45, np.random.default_rng(0))
+    assert (part >= 0).all()
+    assert loads.max() <= 9.45
+    assert sorted(loads.tolist()) == [9.0, 9.0]

@@ -340,3 +340,31 @@ def test_centroid_router_mips_matches_numpy(spark):
         if list(order) != list(np.lexsort((np.arange(5), ((cents - q) ** 2).sum(1)))):
             want_any_differs = True
     assert want_any_differs  # the fixture actually distinguishes MIPS from L2
+
+
+def test_recall_short_gt_uses_last_rank_threshold(spark, rng):
+    """recall@k over a corpus smaller than k: a perfect result set scores
+    n/(nq*k) (every true neighbor within the last-rank threshold), not a
+    silent 0.0 from queries losing their rank-k threshold row."""
+    X = rng.normal(size=(5, 4)).astype(np.float32)
+    pts = make_points_df(spark, X)
+    qs = pts.select(F.col("id").alias("query_id"), "vec")
+    gt = R.ground_truth(pts, qs, k=10)
+    thr = R.distance_to_kth_neighbor(gt, 10)
+    assert thr.count() == 5  # one threshold per query despite rank 10 absent
+    val = R.recall(gt, thr, k=10, n_queries=5)
+    assert val == pytest.approx(5 / 10)
+
+
+def test_recall_vs_probes_dense_rank_axis(spark):
+    """A probe rank at which no GT neighbor is first found still emits a
+    row carrying the cumulative recall forward."""
+    gt = spark.createDataFrame([(0, 10, 0.0, 1), (0, 11, 1.0, 2)],
+                               "query_id long, neighbor_id long, dist double, rank int")
+    cover = spark.createDataFrame([(10, 0), (11, 2), (12, 1)], "id long, shard int")
+    routes = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (0, 2, 3)], "query_id long, shard int, probe_rank int"
+    )
+    rows = {r["nprobes"]: r["recall"] for r in R.recall_vs_probes(gt, cover, routes, 2, 1).collect()}
+    # neighbor 10 found at rank 1, neighbor 11 at rank 3, rank 2 finds none
+    assert rows == {1: pytest.approx(0.5), 2: pytest.approx(0.5), 3: pytest.approx(1.0)}

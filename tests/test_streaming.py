@@ -559,3 +559,32 @@ def test_migration_crash_stage_matrix(spark, tmp_path, stage):
     # idempotent: a second guard pass is a clean no-op
     sink.ensure_layout(spark)
     assert sorted(r["sha256"] for r in spark.read.parquet(points_dir).collect()) == want
+
+
+def test_ingest_zero_token_documents(spark, tmp_path):
+    """Empty / whitespace-only files (empty __init__.py, .gitkeep) must land
+    in the points sink as zero vectors — dropping them desynchronizes the
+    committed-row-count == next_id invariant (false torn-append alarms) and
+    defeats the sink dedup (every later empty file burns a fresh id)."""
+    input_dir = str(tmp_path / "landing")
+    points_dir = str(tmp_path / "points")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    batch1 = ["alpha beta gamma", "", "delta epsilon zeta"]
+    spark.createDataFrame(_repo_rows(batch1), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=2, dim=16)
+    pts1 = spark.read.parquet(points_dir)
+    assert pts1.count() == 3  # the empty doc IS a point (zero vector)
+    zero_rows = [r for r in pts1.collect() if all(v == 0.0 for v in r["vec"])]
+    assert len(zero_rows) == 1
+
+    # replay a whitespace-only duplicate of "" content class: "   " hashes
+    # differently, but a literal duplicate of "" must dedup via the sink
+    batch2 = ["", "eta theta iota"]
+    spark.createDataFrame(_repo_rows(batch2), schema).write.mode("append").parquet(input_dir)
+    ingest_stream(spark, input_dir, points_dir, edges_dir, ckpt, k=2, dim=16)
+    pts2 = spark.read.parquet(points_dir)
+    assert pts2.count() == 4  # "" deduped against the sink, one new doc
+    assert sorted(r["id"] for r in pts2.collect()) == [0, 1, 2, 3]

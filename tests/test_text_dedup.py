@@ -137,3 +137,17 @@ def test_embedding_neardup_lsh_precision_and_recall(spark, rng):
     lsh = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(emb, threshold=0.9).collect()}
     assert lsh <= exact  # verified candidates → perfect precision
     assert len(lsh) / len(exact) >= 0.8  # sign-LSH recall at cos≥0.9
+
+
+def test_embedding_lsh_non_64_dim(spark, rng):
+    """Sign-LSH must adapt its bit→dimension assignment to the embedding's
+    real dimensionality — hardcoding 64 crashed (ANSI element_at
+    out-of-bounds) or NULL-collapsed band keys for any other dim."""
+    emb = _emb_df(spark, rng, n=60, d=8).cache()
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_lsh(emb, threshold=0.9).collect()}
+    assert lsh <= exact
+    assert exact and len(lsh) / len(exact) >= 0.8
+    # band keys must actually vary (the silent NULL-collapse failure mode)
+    n_bands = D.embedding_simhash_bands(emb, dim=8).select("band").distinct().count()
+    assert n_bands > 16
