@@ -57,7 +57,16 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
 
 
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+def _session_key(spark: SparkSession) -> str:
+    """Cache key for per-session memoized DataFrames. NOT id(spark):
+    CPython reuses addresses after garbage collection, so a successor
+    session could inherit checkpointed DataFrames bound to a dead context.
+    The applicationId is unique per SparkContext, and checkpointed RDDs are
+    valid across all sessions of the context that owns them."""
+    return spark.sparkContext.applicationId
+
+
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +74,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph every graph query runs on. Memoized per (session, sf_dir): the
     driver calls each query separately, and a cached DataFrame must not
     outlive its SparkSession."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _EDGE_CACHE:
         e = KNN.symmetrize(KNN.knn_edges(_points(spark, sf_dir), k=K))
         _EDGE_CACHE[key] = e.localCheckpoint(eager=True)
@@ -283,13 +292,13 @@ def q_approx_knn_edges(spark, sf_dir):
     )
 
 
-_GP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_GP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _gp8(spark, sf_dir):
     """Memoized 8-shard multilevel graph partition of the edge table — four
     driver queries consume it; deterministic, so sharing is sound."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _GP_CACHE:
         _GP_CACHE[key] = P.graph_partition(
             _edges(spark, sf_dir), num_shards=8, coarse_target=64
@@ -312,14 +321,14 @@ def q_graph_partition(spark, sf_dir):
     )
 
 
-_KM_CACHE: dict[tuple[int, str], DataFrame] = {}
+_KM_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _km8(spark, sf_dir):
     """Memoized 8-shard k-means partition — shared by the attestation, the
     invariants gate, and the routing-parity query (same rationale as _gp8:
     deterministic build, three consumers per driver run)."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _KM_CACHE:
         _KM_CACHE[key] = P.kmeans_partition(
             _points(spark, sf_dir).cache(), num_shards=8, n_iter=8
@@ -465,20 +474,26 @@ N_QUERIES = 50  # deterministic query set: vec_id < 50 (NOT limit(), which
 # is partition-order dependent) — the SQL oracles select the same set
 
 
+def _routing_recall_curve(spark, sf_dir, metric: str):
+    """One implementation for both metrics — the L2 and MIPS headline curves
+    must stay the same pipeline differing ONLY in the distance function."""
+    pts = _points(spark, sf_dir).cache()
+    asn = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
+    qs = pts.where(F.col("id") < N_QUERIES).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
+    nq = qs.count()
+    gt = R.ground_truth(pts, qs, k=K, metric=metric).localCheckpoint(eager=True)
+    routes = RT.centroid_router(qs, pts, asn, metric=metric)
+    return R.recall_vs_probes(gt, asn, routes, K, nq).select(
+        "nprobes", F.round("recall", 6).alias("recall")
+    )
+
+
 def q_routing_recall_curve(spark, sf_dir):
     """recall@10 vs shards-probed, centroid routing over the label shards —
     the headline curve with a *fully SQL-expressible* partition (shard =
     the embeddings `label` column) so DuckDB replays the whole pipeline:
     GT → per-shard mean centroids → probe order → cumulative recall."""
-    pts = _points(spark, sf_dir).cache()
-    asn = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
-    qs = pts.where(F.col("id") < N_QUERIES).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
-    nq = qs.count()
-    gt = R.ground_truth(pts, qs, k=K).localCheckpoint(eager=True)
-    routes = RT.centroid_router(qs, pts, asn)
-    return R.recall_vs_probes(gt, asn, routes, K, nq).select(
-        "nprobes", F.round("recall", 6).alias("recall")
-    )
+    return _routing_recall_curve(spark, sf_dir, "l2")
 
 
 def q_routing_recall_curve_mips(spark, sf_dir):
@@ -489,15 +504,7 @@ def q_routing_recall_curve_mips(spark, sf_dir):
     DuckDB oracle replays the full pipeline with list_inner_product, so the
     MIPS serving path is value-checked end-to-end, not just the top-k kernel
     (closes VERDICT r4 next-round item 6)."""
-    pts = _points(spark, sf_dir).cache()
-    asn = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), F.col("label").cast("int").alias("shard"))
-    qs = pts.where(F.col("id") < N_QUERIES).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
-    nq = qs.count()
-    gt = R.ground_truth(pts, qs, k=K, metric="mips").localCheckpoint(eager=True)
-    routes = RT.centroid_router(qs, pts, asn, metric="mips")
-    return R.recall_vs_probes(gt, asn, routes, K, nq).select(
-        "nprobes", F.round("recall", 6).alias("recall")
-    )
+    return _routing_recall_curve(spark, sf_dir, "mips")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -880,7 +887,10 @@ def entry(spark: SparkSession) -> DataFrame:
     pts = _points(spark, sf_dir).cache()
     edges = _edges(spark, sf_dir)
     asn = P.graph_partition(edges, num_shards=4, coarse_target=64).localCheckpoint(eager=True)
-    qs = pts.select(F.col("id").alias("query_id"), "vec").limit(25).localCheckpoint(eager=True)
+    # deterministic query set (id < 25, NOT limit(): limit takes whichever
+    # rows arrive first, so the headline curve could flip between same-code
+    # runs under a different scheduling order — the r2 sweep bug class)
+    qs = pts.where(F.col("id") < 25).select(F.col("id").alias("query_id"), "vec").localCheckpoint(eager=True)
     gt = R.ground_truth(pts, qs, k=K).localCheckpoint(eager=True)
     routes = RT.centroid_router(qs, pts, asn)
     return R.recall_vs_probes(gt, asn, routes, K, qs.count())
@@ -952,6 +962,65 @@ def _simhash_cte(tok: str) -> str:
                      ({" + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(nb))})::BIGINT AS simhash
               FROM sums
             )"""
+
+
+
+def _recall_curve_sql(dist: str) -> str:
+    """The recall-vs-probes DuckDB oracle, parameterized on the distance
+    expression (``{a}``/``{b}`` placeholders) — the SINGLE definition behind
+    the L2 and MIPS oracle entries, so a pipeline change (like the r5
+    dense-axis fix, which previously had to be hand-mirrored into two
+    byte-identical 45-line CTE chains) cannot make them drift apart."""
+    d = dist.format
+    return f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+            gt AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {d(a="q.embedding", b="b.embedding")}, b.vec_id
+                       ) AS rnk
+                FROM q, embeddings b
+              ) WHERE rnk <= {K}
+            ),
+            cents AS (
+              SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c
+              FROM embeddings, range(64) t(i) GROUP BY label, i
+            ),
+            cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cents GROUP BY label),
+            routes AS (
+              SELECT query_id, label AS shard,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {d(a="q.embedding", b="cv")}, label
+                     ) AS probe_rank
+              FROM q, cvec
+            ),
+            ff AS (
+              SELECT g.query_id, g.neighbor_id, min(r.probe_rank) AS first_probe
+              FROM gt g
+              JOIN embeddings a ON a.vec_id = g.neighbor_id
+              JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
+              GROUP BY 1, 2
+            ),
+            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1),
+            -- DENSE rank axis, matching recall_vs_probes: ranks with zero
+            -- newly-found neighbors still get a row carrying the cumulative
+            axis AS (SELECT DISTINCT probe_rank AS nprobes FROM routes),
+            dense AS (
+              SELECT a.nprobes, coalesce(pr.found, 0) AS found
+              FROM axis a LEFT JOIN pr ON a.nprobes = pr.nprobes
+            )
+            SELECT nprobes,
+                   round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
+                         / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
+            FROM dense
+        """
+
+
+_L2_DIST_SQL = "list_distance({a}::DOUBLE[], {b}::DOUBLE[])"
+_MIPS_DIST_SQL = "1.0 - list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1099,10 +1168,20 @@ def oracle_sql() -> dict[str, str]:
             cc(iter, id, label) AS (
               SELECT 0, id, id FROM verts
               UNION ALL
-              SELECT c.iter + 1, c.id, LEAST(c.label, COALESCE(MIN(c2.label), c.label))
+              -- hash-min over neighbors PLUS pointer jumping (label := the
+              -- label's own label, the c3 join): the same doubling the Spark
+              -- side uses, so {CC_ITERS} iterations converge for components
+              -- of eccentricity up to 2^{CC_ITERS} — plain 1-hop propagation
+              -- would silently return unconverged labels on any chain-like
+              -- component deeper than the iteration budget
+              SELECT c.iter + 1, c.id,
+                     LEAST(c.label,
+                           COALESCE(MIN(c2.label), c.label),
+                           COALESCE(MIN(c3.label), c.label))
               FROM cc c
               LEFT JOIN edges e ON e.dst = c.id
               LEFT JOIN cc c2 ON c2.id = e.src AND c2.iter = c.iter
+              LEFT JOIN cc c3 ON c3.id = c.label AND c3.iter = c.iter
               WHERE c.iter < {CC_ITERS}
               GROUP BY c.iter, c.id, c.label
             )
@@ -1146,96 +1225,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, label FROM lp WHERE iter = 5
         """,
-        "routing_recall_curve": f"""
-            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
-            gt AS (
-              SELECT query_id, neighbor_id FROM (
-                SELECT q.query_id, b.vec_id AS neighbor_id,
-                       row_number() OVER (
-                         PARTITION BY q.query_id
-                         ORDER BY list_distance(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
-                       ) AS rnk
-                FROM q, embeddings b
-              ) WHERE rnk <= {K}
-            ),
-            cents AS (
-              SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c
-              FROM embeddings, range(64) t(i) GROUP BY label, i
-            ),
-            cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cents GROUP BY label),
-            routes AS (
-              SELECT query_id, label AS shard,
-                     row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY list_distance(q.embedding::DOUBLE[], cv::DOUBLE[]), label
-                     ) AS probe_rank
-              FROM q, cvec
-            ),
-            ff AS (
-              SELECT g.query_id, g.neighbor_id, min(r.probe_rank) AS first_probe
-              FROM gt g
-              JOIN embeddings a ON a.vec_id = g.neighbor_id
-              JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
-              GROUP BY 1, 2
-            ),
-            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1),
-            -- DENSE rank axis, matching recall_vs_probes: ranks with zero
-            -- newly-found neighbors still get a row carrying the cumulative
-            axis AS (SELECT DISTINCT probe_rank AS nprobes FROM routes),
-            dense AS (
-              SELECT a.nprobes, coalesce(pr.found, 0) AS found
-              FROM axis a LEFT JOIN pr ON a.nprobes = pr.nprobes
-            )
-            SELECT nprobes,
-                   round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
-                         / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
-            FROM dense
-        """,
-        "routing_recall_curve_mips": f"""
-            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
-            gt AS (
-              SELECT query_id, neighbor_id FROM (
-                SELECT q.query_id, b.vec_id AS neighbor_id,
-                       row_number() OVER (
-                         PARTITION BY q.query_id
-                         ORDER BY 1.0 - list_inner_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
-                       ) AS rnk
-                FROM q, embeddings b
-              ) WHERE rnk <= {K}
-            ),
-            cents AS (
-              SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c
-              FROM embeddings, range(64) t(i) GROUP BY label, i
-            ),
-            cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cents GROUP BY label),
-            routes AS (
-              SELECT query_id, label AS shard,
-                     row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY 1.0 - list_inner_product(q.embedding::DOUBLE[], cv::DOUBLE[]), label
-                     ) AS probe_rank
-              FROM q, cvec
-            ),
-            ff AS (
-              SELECT g.query_id, g.neighbor_id, min(r.probe_rank) AS first_probe
-              FROM gt g
-              JOIN embeddings a ON a.vec_id = g.neighbor_id
-              JOIN routes r ON r.query_id = g.query_id AND r.shard = a.label
-              GROUP BY 1, 2
-            ),
-            pr AS (SELECT first_probe AS nprobes, count(*) AS found FROM ff GROUP BY 1),
-            -- DENSE rank axis, matching recall_vs_probes: ranks with zero
-            -- newly-found neighbors still get a row carrying the cumulative
-            axis AS (SELECT DISTINCT probe_rank AS nprobes FROM routes),
-            dense AS (
-              SELECT a.nprobes, coalesce(pr.found, 0) AS found
-              FROM axis a LEFT JOIN pr ON a.nprobes = pr.nprobes
-            )
-            SELECT nprobes,
-                   round(sum(found) OVER (ORDER BY nprobes ROWS UNBOUNDED PRECEDING)
-                         / ((SELECT count(*) FROM q) * {K}.0), 6) AS recall
-            FROM dense
-        """,
+        "routing_recall_curve": _recall_curve_sql(_L2_DIST_SQL),
+        "routing_recall_curve_mips": _recall_curve_sql(_MIPS_DIST_SQL),
         "ivf_topk": f"""
             WITH cents AS (
               SELECT label, i AS dim, avg(embedding[i + 1]::DOUBLE) AS c

@@ -58,7 +58,13 @@ def extract_features(media: DataFrame, dim: int = 16, decode: str = "fake") -> D
                 )
             feats = []
             for payload in pdf["payload"]:
+                # one sha256 digest is 32 bytes = 16 u16 lanes; chain
+                # digests for dim > 16 instead of silently truncating the
+                # feature to 16 lanes (dim ≤ 16 stays bit-identical: the
+                # first block is the plain digest)
                 h = hashlib.sha256(bytes(payload)).digest()
+                while len(h) < dim * 2:
+                    h += hashlib.sha256(h[-32:]).digest()
                 v = np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32)
                 feats.append((v / 65535.0).astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})

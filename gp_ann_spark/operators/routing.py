@@ -539,7 +539,10 @@ def probe_order(
     - ``pyramid``   — only shards actually hit, by min distance (:66-74) —
       identical filter here since ``scored`` already contains only hit shards;
     - ``spann``     — (1+ε)-pruning: keep shards with
-      min_dist ≤ (1+ε)·best (:76-85);
+      min_dist ≤ best + ε·|best| (:76-85 writes (1+ε)·best, identical for
+      the non-negative L2 distances it assumes; the |best| form extends it
+      to MIPS scores, where min_dist = 1−⟨q,v⟩ goes negative and the raw
+      product rule would reject every shard INCLUDING the best one);
     - ``frequency`` — descending hit votes, tie by min distance (:87-103).
     """
     if policy not in POLICIES:
@@ -552,7 +555,7 @@ def probe_order(
     if policy == "spann":
         w_q = Window.partitionBy(q_id_col)
         df = df.withColumn("_best", F.min("min_dist").over(w_q)).where(
-            F.col("min_dist") <= (1.0 + spann_eps) * F.col("_best")
+            F.col("min_dist") <= F.col("_best") + spann_eps * F.abs(F.col("_best"))
         ).drop("_best")
     w = Window.partitionBy(q_id_col).orderBy(*order)
     return df.withColumn("probe_rank", F.row_number().over(w)).select(q_id_col, "shard", "probe_rank")
@@ -585,8 +588,9 @@ def uniform_sample_router(
     analyze_approximation_losses.cpp:223-237): ``budget`` seed-420 sampled
     points become routing points labeled with their own shard; routes come
     from brute-force scoring against them. Deterministic hash-rank sample
-    (orderBy+limit compiles to a distributed TakeOrdered, no global sort
-    shuffle; the reference uses std::sample with mt19937(420))."""
+    (hash-prefix filter + exact rank of the small candidate set, see
+    :func:`uniform_routing_table`; the reference uses std::sample with
+    mt19937(420))."""
     rp = uniform_routing_table(points, assignment, budget, seed=seed)
     # the table is ≤ budget rows by construction — decide the physical
     # strategy from that instead of size-probing (and rescanning) the plan
@@ -602,11 +606,34 @@ def uniform_routing_table(
 ) -> DataFrame:
     """The uniform-sample routing-point table ``(shard, vec)`` — the single
     definition shared by :func:`uniform_sample_router` and the CLI benches,
-    so the sample (seed, tie-key, join order) cannot silently diverge."""
+    so the sample (seed, tie-key, join order) cannot silently diverge.
+
+    The sample is the ``budget`` hash-smallest points. Naively that is
+    ``orderBy(hash).limit(budget)`` — but Spark compiles that to a
+    TakeOrdered whose final merge funnels every partition's candidates
+    (the whole table when budget ≥ rows-per-partition) through ONE task; at
+    the reference's 1M–10M router budgets (routes.cpp:130) that single task
+    holds a multi-GB heap. Instead, a uniform-hash PREFIX FILTER keeps
+    ~budget·(1+5%)+6σ expected candidates distributed (xxhash64 is uniform
+    over the int64 range, so the cutoff is pure arithmetic), and only that
+    small candidate set is ranked exactly. The filter is a prefix of the
+    same hash order, so the result is bit-identical to the naive form
+    whenever it retains ≥ budget rows — verified by a count, with the naive
+    path as fallback (never taken in practice; binomial tail ≪ 1e-9)."""
+    budget = int(budget)
+    pts = points.select("id", "vec").withColumn("_h", F.xxhash64("id", F.lit(seed)))
+    n = pts.count()
+    if n > max(4 * budget, 65_536):
+        import math
+
+        target = budget * 1.05 + 6.0 * math.sqrt(budget) + 16.0
+        cutoff = int(-(2**63) + math.ceil(2.0**64 * target / n))
+        cand = pts.where(F.col("_h") <= cutoff)
+        if cand.count() >= budget:
+            pts = cand
     return (
-        points.select("id", "vec")
-        .orderBy(F.xxhash64("id", F.lit(seed)))
-        .limit(int(budget))
+        pts.orderBy("_h", "id")
+        .limit(budget)
         .join(assignment, "id")
         .select("shard", "vec")
     )

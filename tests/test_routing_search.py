@@ -368,3 +368,39 @@ def test_recall_vs_probes_dense_rank_axis(spark):
     rows = {r["nprobes"]: r["recall"] for r in R.recall_vs_probes(gt, cover, routes, 2, 1).collect()}
     # neighbor 10 found at rank 1, neighbor 11 at rank 3, rank 2 finds none
     assert rows == {1: pytest.approx(0.5), 2: pytest.approx(0.5), 3: pytest.approx(1.0)}
+
+
+def test_probe_order_spann_negative_scores_mips(spark):
+    """Under MIPS, min_dist = 1 - <q,v> goes negative; the (1+eps)*best
+    product rule would then reject every shard INCLUDING the best (since
+    (1+eps)*best < best for best < 0). The |best|-band rule must keep the
+    best shard and prune by the same relative margin."""
+    rows = [(1, 0, -2.0, 1), (1, 1, -1.5, 1), (1, 2, -0.2, 1)]
+    scored = spark.createDataFrame(rows, "query_id long, shard int, min_dist double, votes long")
+    # band = best + 0.6*|best| = -2.0 + 1.2 = -0.8: keeps -2.0 and -1.5
+    sp = [r["shard"] for r in RT.probe_order(scored, "spann", spann_eps=0.6).orderBy("probe_rank").collect()]
+    assert sp == [0, 1]
+    # positive scores: identical to the reference's (1+eps)*best rule
+    rows_l2 = [(1, 0, 0.5, 1), (1, 1, 0.2, 1), (1, 2, 2.0, 1)]
+    scored_l2 = spark.createDataFrame(rows_l2, "query_id long, shard int, min_dist double, votes long")
+    sp2 = [r["shard"] for r in RT.probe_order(scored_l2, "spann", spann_eps=1.6).orderBy("probe_rank").collect()]
+    assert sp2 == [1, 0]
+
+
+def test_uniform_routing_table_two_phase_matches_naive(spark):
+    """Above the two-phase threshold the hash-prefix filter + exact rank
+    must select EXACTLY the budget hash-smallest ids — bit-identical to the
+    naive full orderBy+limit it replaces."""
+    n, budget = 70_000, 500
+    pts = (
+        spark.range(n)
+        .select(F.col("id"), F.array(F.col("id").cast("float"), F.lit(0.0).cast("float")).alias("vec"))
+    )
+    asn = pts.select("id", (F.col("id") % 7).cast("int").alias("shard"))
+    got = sorted(
+        r["vec"][0] for r in RT.uniform_routing_table(pts, asn, budget).collect()
+    )
+    naive = pts.withColumn("_h", F.xxhash64("id", F.lit(420))).orderBy("_h", "id").limit(budget)
+    want = sorted(float(r["id"]) for r in naive.collect())
+    assert len(got) == budget
+    assert got == want

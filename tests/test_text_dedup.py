@@ -151,3 +151,17 @@ def test_embedding_lsh_non_64_dim(spark, rng):
     # band keys must actually vary (the silent NULL-collapse failure mode)
     n_bands = D.embedding_simhash_bands(emb, dim=8).select("band").distinct().count()
     assert n_bands > 16
+
+
+def test_multimodal_feature_dim_above_digest_width(spark):
+    """dim > 16 exceeds one sha256 digest (32 bytes = 16 u16 lanes); the
+    digest chain must fill the requested width instead of silently
+    truncating, and the first 16 lanes must stay bit-identical to dim=16
+    (first block = the plain digest)."""
+    media = MM.synth_media(spark, 5)
+    f16 = {r["media_id"]: list(r["feature"]) for r in MM.extract_features(media, dim=16).collect()}
+    f32 = {r["media_id"]: list(r["feature"]) for r in MM.extract_features(media, dim=32).collect()}
+    assert all(len(v) == 32 for v in f32.values())
+    for mid, v in f32.items():
+        assert v[:16] == f16[mid]
+        assert any(x != 0.0 for x in v[16:])

@@ -26,7 +26,11 @@ def canon(df_pandas):
         row = []
         for v in t:
             if isinstance(v, float):
-                row.append(f"{v:.6f}")
+                # v + 0.0 canonicalizes -0.0 → 0.0: engines summing in a
+                # different order can land on opposite signed zeros for a
+                # ~±1e-10 mean, and "-0.000000" != "0.000000" would FAIL
+                # two numerically identical results
+                row.append(f"{v + 0.0:.6f}")
             else:
                 row.append(str(v))
         rows.append(tuple(row))

@@ -142,15 +142,18 @@ def cmd_partition(spark, args):
         base = P.graph_partition(edges, k_adj, eps=EPS)
         cover = P.overlapping_partition(edges, base, overlap=overlap, num_shards=k_adj)
     elif method in ("OKM", "ORKM", "OGPS", "OBKM"):
-        # ceil(k*(1+o)) like the reference's std::ceil (partition.cpp ORKM/OBKM)
-        k_adj = -(-int(n + overlap * n) // cap) if method == "OGPS" else math.ceil(k * (1 + overlap))
         if method == "OKM":
+            # deliberately PLAIN k, not the inflated count its siblings use:
+            # "leave the same num clusters, since k-means will use more than
+            # requested anyways" (partition.cpp:121-122)
             base = P.kmeans_partition(pts, k, eps=EPS, metric=_metric())
         elif method == "ORKM":
-            base = P.rebalancing_kmeans_partition(pts, k_adj, eps=EPS, metric=_metric())
+            # ceil(k*(1+o)) like the reference's std::ceil (partition.cpp:106)
+            base = P.rebalancing_kmeans_partition(pts, math.ceil(k * (1 + overlap)), eps=EPS, metric=_metric())
         elif method == "OBKM":
-            _, base = KM.balanced_kmeans_bkm(pts, k_adj, cap, metric=_metric())
-        else:  # OGPS
+            base = KM.balanced_kmeans_bkm(pts, math.ceil(k * (1 + overlap)), cap, metric=_metric())[1]
+        else:  # OGPS: total assignments (n + overlap·n) / max cluster size (:115-118)
+            k_adj = -(-int(n + overlap * n) // cap)
             base = P.graph_partition(_knn_edges_auto(pts, strong=strong), k_adj, eps=EPS)
         cents = RT.shard_centroids(pts, base)
         import numpy as np

@@ -178,6 +178,11 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--stage":
         print("RESULT " + json.dumps(run_stage(int(sys.argv[2]))))
         return
+    if len(LEVELS) < 2 or len(set(LEVELS)) != len(LEVELS) or min(LEVELS) < 1:
+        raise SystemExit(f"SCALING_LEVELS needs >= 2 distinct positive levels, got {LEVELS}")
+    # efficiency is reported between the SMALLEST and LARGEST level; extra
+    # intermediate levels just add rows to the report
+    lo, hi = min(LEVELS), max(LEVELS)
     results = {}
     for cpus in LEVELS:
         proc = subprocess.run(
@@ -186,8 +191,10 @@ def main() -> None:
         )
         line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
         results[cpus] = json.loads(line[len("RESULT "):])
-    lo, hi = LEVELS
-    factor = hi // lo
+        # each stage is up to an hour; stream partial results to stderr so a
+        # late-stage crash doesn't discard the finished measurements
+        print(f"STAGE {cpus} " + json.dumps(results[cpus]), file=sys.stderr)
+    factor = hi / lo
     report = {"levels": results, "efficiency": {}, "factor": factor}
     for metric in ("featurize_sec", "knn_sec", "pagerank_sec", "ann_probe_sec", "routing_sec"):
         t_lo, t_hi = results[lo][metric], results[hi][metric]
