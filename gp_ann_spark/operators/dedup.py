@@ -353,8 +353,12 @@ def embedding_simhash_bands(
     element_at out-of-bounds) or, with ANSI off, silently NULL-collapse the
     band keys toward constants for any non-64-dim corpus."""
     if dim is None:
-        row = embeddings.select(F.size(F.col(vec_col))).first()
-        dim = int(row[0]) if row else 1
+        # max(size) over a limited sample, not first(): a NULL vector in the
+        # first row would yield size NULL (TypeError) or -1, and dim=-1
+        # makes every `% dim` land on 0 — collapsing all band keys to
+        # coordinate 0 and degenerating the LSH candidate set to near-all-pairs
+        row = embeddings.limit(1024).agg(F.max(F.size(F.col(vec_col)))).first()
+        dim = int(row[0]) if row and row[0] is not None and row[0] > 0 else 1
     dim_of = lambda bit: (bit * 2654435761 + seed) % dim  # noqa: E731 — seeded perm
     bands = F.array(
         *[

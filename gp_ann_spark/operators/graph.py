@@ -160,7 +160,14 @@ def pagerank(
         if fixed_iters:
             # no convergence action; truncate lineage only every few steps
             if it % checkpoint_every == 0 or it == max_iter:
+                # same prev-release dance as the tol>0 branch below: on the
+                # dangling path `ranks` is a swap_checkpoint product the
+                # checkpointer does not own — cp.save frees only its own
+                # _prev, so without this the it=interval-1 checkpoint of
+                # every interval leaks for the session's lifetime
+                prev = ranks
                 ranks = cp.save(new_ranks, it, {"delta": None})
+                release_local_checkpoint(prev)
             elif has_dangling:
                 # the dangling plan reads `ranks` twice (contributions +
                 # mass aggregate): materialize each superstep once, or lazy
@@ -323,7 +330,12 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
     vertex by O(sqrt(m)) — the standard hub-skew mitigation; AQE skew-join
     splits whatever remains.
 
-    Returns 1-row ``(triangles)`` or per-vertex ``(id, triangles)``.
+    Returns 1-row ``(triangles)`` or per-vertex ``(id, triangles)``. The
+    per-vertex result is an eagerly materialized localCheckpoint (so the
+    internal edge cache can be released before returning); its storage
+    belongs to the caller — the context cleaner reclaims it once the caller
+    drops the last reference, or ``release_local_checkpoint`` frees it
+    immediately.
     """
     und = (
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))

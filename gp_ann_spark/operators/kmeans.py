@@ -511,10 +511,10 @@ def balanced_kmeans_bkm(
             .select("id", F.coalesce("_ns", F.col("shard")).cast("int").alias("shard")),
             assignment if assignment is not best_balanced else None,
         )
-        sizes = sizes_of(assignment)
-
-        # centroid update + objective on the new assignment
-        centroids, sizes_arr, objective = _superstep_given_assignment(
+        # centroid update + objective + per-shard sizes in ONE aggregation
+        # pass (a separate sizes_of() here would re-shuffle the assignment
+        # for counts the superstep aggregate already computes)
+        centroids, sizes, objective = _superstep_given_assignment(
             pts, assignment, k_eff, metric, prev_centroids=centroids
         )
         min_pen_needed = moves.agg(F.min("pen_needed")).collect()[0][0]
@@ -537,6 +537,10 @@ def balanced_kmeans_bkm(
 
     final = best_balanced if best_balanced is not None else assignment
     if final is not assignment:
+        # the last round's assignment checkpoint has no further reader once
+        # an earlier round's best wins — release it (the loop's swap guard
+        # kept it alive only as the candidate state)
+        release_local_checkpoint(assignment)
         # `centroids` tracks the LAST round's assignment; the chosen best
         # may be from an earlier round — re-derive its own centroids so the
         # enforcement's keep/spill ranking and the returned (centroids,
