@@ -184,6 +184,16 @@ def q_knn_topk_mips(spark, sf_dir):
     return res.select("query_id", "neighbor_id", "rank")
 
 
+def q_knn_topk_cosine(spark, sf_dir):
+    """Exact cosine top-k over the embeddings — the angular regime the
+    reference serves by L2-normalize + MIPS (convert.cpp:38-61 →
+    dist.cpp:50-52); here metric="cosine" normalizes in float64 inside the
+    broadcast top-k kernel. Ranks only (ascending 1−cos ≡ descending
+    cosine similarity, vec_id tie-break, matching the SQL oracle's
+    list_cosine_similarity ordering exactly)."""
+    return SIM.brute_force_topk(_emb(spark, sf_dir), k=K, metric="cosine")
+
+
 def q_knn_edges(spark, sf_dir):
     return _edges(spark, sf_dir).select("src", "dst")
 
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_band_pairs": q_simhash_band_pairs,
         "knn_topk": q_knn_topk,
         "knn_topk_mips": q_knn_topk_mips,
+        "knn_topk_cosine": q_knn_topk_cosine,
         "knn_edges": q_knn_edges,
         "degrees": q_degrees,
         "triangle_count": q_triangle_count,
@@ -1131,6 +1142,16 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY a.vec_id
                        ORDER BY 1.0 - list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
+                     ) AS rank
+              FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+            ) WHERE rank <= {K}
+        """,
+        "knn_topk_cosine": f"""
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY 1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), b.vec_id
                      ) AS rank
               FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
             ) WHERE rank <= {K}

@@ -24,6 +24,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 VALID_METRICS = ("l2", "mips")
+# The search/scoring kernels additionally serve the angular regime. The
+# reference reaches it by L2-normalizing inputs once and running MIPS
+# (convert.cpp:38-61); here "cosine" is a first-class search metric whose
+# normalization happens in float64 inside the kernel, so callers need no
+# separate convert pass. Clustering paths (k-means / routing trees) keep
+# VALID_METRICS — their centroid-update geometry is defined for l2/mips only.
+SEARCH_METRICS = VALID_METRICS + ("cosine",)
 
 
 # ---------------------------------------------------------------- numpy side
@@ -54,17 +61,33 @@ def mips_distance_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def pos_distance_matrix(a: np.ndarray, b: np.ndarray, metric: str = "l2") -> np.ndarray:
     """Non-negative distance for k-means objectives (dist.cpp:83-88):
-    identity for L2, ``2 - ⟨a,b⟩`` for MIPS (shifted by +1)."""
+    identity for L2, ``2 - ⟨a,b⟩`` for MIPS (shifted by +1). Clustering-only
+    — no cosine variant (see SEARCH_METRICS note above)."""
+    if metric not in VALID_METRICS:
+        raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
     if metric == "l2":
         return pairwise_sqr_l2(a, b)
     return 2.0 - inner_product_matrix(a, b)
 
 
+def cosine_distance_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Cosine distance ``1 − cos(a,b)`` for all pairs — MIPS over rows
+    L2-normalized in float64 (≙ the reference's angular path: L2Normalize
+    dist.cpp:60-73 applied by convert.cpp:38-61, then mips_distance).
+    Zero rows normalize to zero (cosine 0 → distance 1), matching
+    ``l2_normalize``."""
+    return 1.0 - l2_normalize(a) @ l2_normalize(b).T
+
+
 def distance_matrix(a: np.ndarray, b: np.ndarray, metric: str = "l2") -> np.ndarray:
-    """Metric dispatch (dist.cpp:75-81)."""
-    if metric not in VALID_METRICS:
-        raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
-    return pairwise_sqr_l2(a, b) if metric == "l2" else mips_distance_matrix(a, b)
+    """Metric dispatch (dist.cpp:75-81) + the angular search metric."""
+    if metric not in SEARCH_METRICS:
+        raise ValueError(f"metric must be one of {SEARCH_METRICS}, got {metric!r}")
+    if metric == "l2":
+        return pairwise_sqr_l2(a, b)
+    if metric == "mips":
+        return mips_distance_matrix(a, b)
+    return cosine_distance_matrix(a, b)
 
 
 def vec_norm(a: np.ndarray) -> np.ndarray:
@@ -103,11 +126,15 @@ def sql_inner_product(a: Column, b: Column) -> Column:
 
 
 def sql_distance(a: Column, b: Column, metric: str = "l2") -> Column:
-    if metric not in VALID_METRICS:
-        raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+    if metric not in SEARCH_METRICS:
+        raise ValueError(f"metric must be one of {SEARCH_METRICS}, got {metric!r}")
     if metric == "l2":
         return sql_sqr_l2(a, b)
-    return F.lit(1.0) - sql_inner_product(a, b)
+    if metric == "mips":
+        return F.lit(1.0) - sql_inner_product(a, b)
+    norm_prod = F.sqrt(sql_inner_product(a, a)) * F.sqrt(sql_inner_product(b, b))
+    safe = F.when(norm_prod == 0.0, F.lit(1.0)).otherwise(norm_prod)
+    return F.lit(1.0) - sql_inner_product(a, b) / safe
 
 
 def sql_l2_normalize(vec: Column) -> Column:
