@@ -69,13 +69,23 @@ def read_metis_partition(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_clusters(assignment: DataFrame, path: str) -> None:
-    """≙ WriteClusters (metis_io.cpp:56-64): shard line = member ids."""
+    """≙ WriteClusters (metis_io.cpp:56-64): shard line = member ids.
+    Line number IS the shard id on read-back, so shard ids must be dense
+    0..s-1 — validated loudly (like write_metis_partition) instead of
+    silently shifting every shard above a gap down by one."""
     rows = (
         assignment.groupBy("shard")
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .orderBy("shard")
         .collect()
     )
+    if rows and (int(rows[0]["shard"]) != 0 or int(rows[-1]["shard"]) != len(rows) - 1):
+        raise ValueError(
+            f"write_clusters needs dense shard ids 0..{len(rows) - 1}; got "
+            f"min={rows[0]['shard']} max={rows[-1]['shard']} over {len(rows)} "
+            "shards — the positional format cannot represent gaps (remap with "
+            "partition.remap_shard_ids first)."
+        )
     with open(path, "w") as f:
         for r in rows:
             f.write(" ".join(str(m) for m in r["members"]) + "\n")
@@ -240,9 +250,19 @@ def write_ground_truth_bin(gt: DataFrame, path: str) -> None:
             f"[{pdf['query_id'].min()}, {pdf['query_id'].max()}] — renumber "
             "queries before writing (the layout is positional, points_io.cpp:136-160)"
         )
+    ids = pdf["neighbor_id"].to_numpy()
+    # u4 astype WRAPS modulo 2^32 silently; ids above that (legal at the
+    # engine's corpus scale) would round-trip as plausible-looking wrong
+    # neighbors — refuse loudly like the dense-query-id check above
+    if len(ids) and (ids.min() < 0 or ids.max() > 0xFFFFFFFF):
+        raise ValueError(
+            f"binary GT stores neighbor ids as uint32; got range "
+            f"[{ids.min()}, {ids.max()}] — ids beyond 2^32-1 cannot be "
+            "represented (use the parquet GT format instead)."
+        )
     with open(path, "wb") as f:
         f.write(struct.pack("<II", nq, k))
-        pdf["neighbor_id"].to_numpy().astype("<u4").tofile(f)
+        ids.astype("<u4").tofile(f)
         pdf["dist"].to_numpy().astype("<f4").tofile(f)
 
 

@@ -67,7 +67,9 @@ def hierarchical_kmeans(
             X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
             leaf = int(pdf["leaf"].iloc[0])
             k = min(branching, max(2, int(np.ceil(len(X) / target_leaf_size))))
-            rng = np.random.default_rng(seed + leaf + lvl * 1_000_003)
+            # leaf ids are hashes (possibly negative int64) — fold to a
+            # non-negative entropy tuple; default_rng rejects negatives
+            rng = np.random.default_rng((seed, lvl, leaf & 0xFFFFFFFFFFFFFFFF))
             C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
             for _ in range(n_iter):
                 # BLAS m×k kernel — the (m,k,d) broadcast tensor is O(m·k·d)
@@ -83,7 +85,15 @@ def hierarchical_kmeans(
         subs = joined.groupBy("leaf").applyInPandas(
             lambda pdf: split(pdf).assign(leaf=pdf["leaf"].iloc[0]), schema="id long, sub long, leaf long"
         )
-        new_big = subs.select("id", (F.col("leaf") * branching + F.col("sub") + 1_000_000_000 * level).alias("leaf"))
+        # hash-namespaced child ids (same pattern as knn_approx's bucket
+        # splits): the positional encoding leaf·branching + sub + 1e9·level
+        # grows ~branching× per level and overflows int64 around level 7 on a
+        # never-shrinking (near-duplicate) leaf — hashes stay flat, ids are
+        # densified below anyway, and a 64-bit collision merely merges two
+        # leaves (re-split next level by the size check)
+        new_big = subs.select(
+            "id", F.xxhash64("leaf", "sub", F.lit(level), F.lit("hkm")).alias("leaf")
+        )
         keep = asn.join(F.broadcast(big.select("leaf")), "leaf", "left_anti")
         asn = swap_checkpoint(keep.select("id", "leaf").unionByName(new_big), asn)
 

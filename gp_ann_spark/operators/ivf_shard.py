@@ -46,6 +46,7 @@ import numpy as np
 
 from gp_ann_spark.functions.distances import (
     distance_matrix,
+    l2_normalize,
     vec_norm,
 )
 
@@ -205,6 +206,17 @@ def ivf_search(
     out_dist: list = [None] * nq
     if nq == 0:
         return out_idx, out_dist
+    # cosine = MIPS over row-normalized inputs (the reference's angular path,
+    # convert.cpp:38-61 + dist.cpp:50-52). Normalize ONCE here and score with
+    # the 1 - dot formula below; row-wise normalization means Qs[i] / Xs[cand]
+    # are bit-identical to the oracle's l2_normalize(Q[i:i+1]) /
+    # l2_normalize(X[cand]) inside cosine_distance_matrix, so the
+    # ivf_search_reference equality contract holds. Cell ranking keeps the raw
+    # arrays (distance_matrix handles cosine itself, matching the oracle).
+    if metric == "cosine":
+        Qs, Xs = l2_normalize(Q), l2_normalize(X)
+    else:
+        Qs, Xs = Q, X
     # cell ranking for all queries, blocked on the query axis
     q_block = max(1, (64 << 20) // (8 * max(len(C), 1)))
     ent_sizes = ends - starts
@@ -214,6 +226,7 @@ def ivf_search(
     x_sq = (X * X).sum(axis=1) if metric == "l2" else None
     for lo in range(0, nq, q_block):
         Qb = Q[lo : lo + q_block]
+        Qsb = Qs[lo : lo + q_block]  # scoring rows (== Qb except cosine)
         d_qc = distance_matrix(Qb, C, metric)
         cell_rank = np.lexsort((np.broadcast_to(np.arange(len(C)), d_qc.shape), d_qc), axis=-1)
         # probe cells until ≥ ef primary members covered (≥1 cell always):
@@ -235,7 +248,7 @@ def ivf_search(
                 pos = np.arange(n_all)
                 for glo in range(0, len(rows), blk):
                     rblk = rows[glo : glo + blk]
-                    Qg = Qb[rblk]
+                    Qg = Qsb[rblk]
                     # same expression as pairwise_sqr_l2 but with the cached
                     # x_sq (bit-identical; avoids recomputing the O(n·d)
                     # norm reduction once per row-block)
@@ -243,7 +256,7 @@ def ivf_search(
                         dg = (Qg * Qg).sum(1)[:, None] + x_sq[None, :] - 2.0 * (Qg @ X.T)
                         np.maximum(dg, 0.0, out=dg)
                     else:
-                        dg = 1.0 - Qg @ X.T
+                        dg = 1.0 - Qg @ Xs.T
                     srt = np.lexsort((np.broadcast_to(pos, dg.shape), dg), axis=-1)[:, : min(k, n_all)]
                     ds = np.take_along_axis(dg, srt, axis=1)
                     for ri, row in enumerate(rblk):
@@ -280,8 +293,8 @@ def ivf_search(
                 if m > 1:
                     valid[:, 1:] &= cand[:, 1:] != cand[:, :-1]
                 safe = np.where(valid, cand, 0)
-                Xc = X[safe]  # (r, m, d)
-                Qg = Qb[rblk]
+                Xc = Xs[safe]  # (r, m, d)
+                Qg = Qsb[rblk]
                 # batched |q - x|² / MIPS via one einsum (batched dgemm)
                 dots = np.einsum("rd,rmd->rm", Qg, Xc)
                 if metric == "l2":

@@ -271,11 +271,15 @@ def incremental_knn_delta(
     fwd = knn_edges_for_queries(all_pts, new_pts.select(F.col("id").alias("query_id"), "vec"), k, metric)
 
     # per-existing-point kth threshold: sidecar if provided, else aggregate
-    # the current edge table
+    # the current edge table; no edges at all (bootstrap) means every
+    # existing point's threshold is +inf — the deg<k branch below — which
+    # the left join's all-null side already produces
     if thresholds is not None:
         deg_thresh = thresholds.select("src", "deg", "kth")
-    else:
+    elif edges is not None:
         deg_thresh = deg_kth(edges)
+    else:
+        deg_thresh = spark.createDataFrame([], "src long, deg long, kth double")
     with_thresh = existing_pts.join(deg_thresh, existing_pts.id == deg_thresh.src, "left").select(
         "id", "vec",
         F.when(F.col("deg") >= k, F.col("kth")).otherwise(F.lit(float("inf"))).alias("thresh"),

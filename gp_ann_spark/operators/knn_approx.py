@@ -87,7 +87,14 @@ def _assign_to_leaders(
         ranks = lead_pdf["leader_rank"].to_numpy()
         d = distance_matrix(X, L, metric)
         f = min(fanout, d.shape[1])
-        idx = np.argpartition(d, f - 1, axis=1)[:, :f] if f < d.shape[1] else np.tile(np.arange(d.shape[1]), (len(X), 1))
+        if f < d.shape[1]:
+            # canonical (distance, leader_rank) selection: a bare argpartition
+            # picks shuffle-arrival order among leaders tied at the fanout
+            # boundary (duplicate leader vectors are legal), which made two
+            # independent builds route the point to different buckets
+            idx = np.lexsort((np.broadcast_to(ranks, d.shape), d), axis=-1)[:, :f]
+        else:
+            idx = np.tile(np.arange(d.shape[1]), (len(X), 1))
         base = pts_pdf["bucket"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         child = np.repeat(base, idx.shape[1]) + (ranks[idx.ravel()].astype(np.uint64) + np.uint64(1))
         return pd.DataFrame(
@@ -253,10 +260,28 @@ def build_knn_graph(
                 F.when(F.lit(depth) == 0, F.lit(top_level_leaders))
                 .otherwise(F.least(F.lit(MAX_LEADERS), F.greatest(F.lit(2), (F.col("n") * LEADER_FRACTION).cast("int"))))
             )
-            big_sized = big.withColumn("n_leaders", n_leaders_expr).select("bucket", "n_leaders")
-            w = Window.partitionBy("bucket").orderBy(F.xxhash64("id", F.lit(seed + rep), F.lit(depth)))
+            big_sized = big.withColumn("n_leaders", n_leaders_expr).select("bucket", "n", "n_leaders")
+            w = Window.partitionBy("bucket").orderBy("_h")
+            # "n_leaders smallest hashes win" — but ranking the bucket's full
+            # membership funnels it through ONE window-sort task (at depth 0
+            # the bucket is the whole corpus: the exact scale-killer
+            # functions/windows.py warns about). Pre-filter to a hash PREFIX
+            # first: keep hashes below the ~(4·n_leaders+64)/n quantile of the
+            # uniform int64 hash space, a distributed filter leaving ~4× the
+            # needed rows, then rank only survivors. The filter is a prefix of
+            # the ranking order, so the selected leaders are identical to the
+            # unfiltered version whenever ≥ n_leaders rows survive (mean 4×
+            # margin; Chernoff-negligible otherwise, and a short bucket just
+            # yields fewer leaders — the oversize guard re-splits it).
+            p_keep = (4.0 * F.col("n_leaders") + 64.0) / F.col("n")
+            h_thr = F.least(
+                F.lit(-9.223372036854776e18) + p_keep * F.lit(1.8446744073709552e19),
+                F.lit(9.223372036854e18),
+            ).cast("long")
             leaders = (
                 big_pts.join(F.broadcast(big_sized), "bucket")
+                .withColumn("_h", F.xxhash64("id", F.lit(seed + rep), F.lit(depth)))
+                .where((F.col("n") <= 4 * F.col("n_leaders") + 64) | (F.col("_h") < h_thr))
                 .withColumn("_r", F.row_number().over(w))
                 .where(F.col("_r") <= F.col("n_leaders"))
                 .select("bucket", "id", "vec", (F.col("_r") - 1).cast("long").alias("leader_rank"))

@@ -166,3 +166,21 @@ def test_ground_truth_bin_rejects_ragged(spark, tmp_path):
 
     with pytest.raises(ValueError, match="ragged"):
         IO.write_ground_truth_bin(gt, str(tmp_path / "bad.bin"))
+
+
+def test_write_clusters_rejects_non_dense_shards(spark, tmp_path):
+    import pytest
+
+    asn = spark.createDataFrame([(0, 0), (1, 1), (2, 3)], "id long, shard int")
+    with pytest.raises(ValueError, match="dense shard ids"):
+        IO.write_clusters(asn, str(tmp_path / "bad_clusters.txt"))
+
+
+def test_ground_truth_bin_rejects_ids_beyond_u32(spark, tmp_path):
+    import pytest
+
+    gt = spark.createDataFrame(
+        [(0, 1, 2**32, 0.1)], "query_id long, rank int, neighbor_id long, dist double"
+    )
+    with pytest.raises(ValueError, match="uint32"):
+        IO.write_ground_truth_bin(gt, str(tmp_path / "bad_u32.bin"))

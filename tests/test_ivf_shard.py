@@ -66,11 +66,13 @@ def test_ivf_deterministic(xq):
         assert (ra == rb).all()
 
 
-@pytest.mark.parametrize("metric", ["l2", "mips"])
+@pytest.mark.parametrize("metric", ["l2", "mips", "cosine"])
 def test_ivf_vectorized_equals_reference_impl(xq, metric):
     """The batched ragged-gather search path is extensionally identical to
     the straight-line per-query implementation (the r3→r4 vectorization
-    contract: same candidates, same (dist, position) tie-break)."""
+    contract: same candidates, same (dist, position) tie-break). Cosine is
+    the regression for the r5 review finding: the kernel scored cosine
+    candidates with the raw MIPS formula (1 - dot on unnormalized rows)."""
     X, Q = xq
     idx = build_ivf(X, seed=555, metric=metric)
     for ef in (30, 100, 400, len(X)):
@@ -79,6 +81,21 @@ def test_ivf_vectorized_equals_reference_impl(xq, metric):
         for i in range(len(Q)):
             assert np.array_equal(a_i[i], b_i[i])
             assert np.allclose(a_d[i], b_d[i], atol=1e-9)
+
+
+def test_ivf_cosine_exact_at_full_budget(xq):
+    """At full budget the cosine kernel must return the exact cosine top-k —
+    NOT the inner-product top-k (they differ on these unnormalized blobs)."""
+    X, Q = xq
+    idx = build_ivf(X, seed=555, metric="cosine")
+    exact = distance_matrix(Q, X, "cosine").argsort(axis=1, kind="stable")[:, :10]
+    mips = distance_matrix(Q, X, "mips").argsort(axis=1, kind="stable")[:, :10]
+    # sanity: the two metrics disagree on this fixture, so the test can bite
+    assert any(set(exact[i]) != set(mips[i]) for i in range(len(Q)))
+    got, dist = ivf_search(Q, X, idx, 10, ef=len(X), metric="cosine")
+    for i in range(len(Q)):
+        assert set(got[i]) == set(exact[i])
+        assert (np.diff(dist[i]) >= -1e-12).all()
 
 
 @pytest.mark.parametrize("metric", ["l2", "mips"])

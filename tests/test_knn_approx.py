@@ -38,3 +38,24 @@ def test_small_input_falls_back_to_single_bucket(spark, rng):
     exact = knn.knn_edges(pts, k=3)
     # one bucket ≤ max_cluster_size → brute force = exact
     assert knn_approx.graph_recall(edges, exact) == 1.0
+
+
+def test_assign_to_leaders_canonical_at_tied_fanout_boundary(spark):
+    """Two leaders with identical vectors tied at the fanout boundary must be
+    broken by leader_rank, not shuffle-arrival column order (r5 review
+    finding: bare argpartition made two builds route the point to different
+    buckets). Both leader-row input orders must yield the same bucket."""
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": [0], "bucket": [7], "vec": [[0.0, 0.0]]})
+    )
+    rows = [(7, r, [1.0, 0.0]) for r in (0, 1)]  # identical vectors, ranks 0/1
+    outs = []
+    for order in (rows, rows[::-1]):
+        leaders = spark.createDataFrame(order, "bucket long, leader_rank long, vec array<double>")
+        outs.append(
+            knn_approx._assign_to_leaders(pts, leaders, fanout=1, metric="l2")
+            .collect()[0]["bucket"]
+        )
+    assert outs[0] == outs[1]

@@ -588,3 +588,26 @@ def test_ingest_zero_token_documents(spark, tmp_path):
     pts2 = spark.read.parquet(points_dir)
     assert pts2.count() == 4  # "" deduped against the sink, one new doc
     assert sorted(r["id"] for r in pts2.collect()) == [0, 1, 2, 3]
+
+
+def test_incremental_knn_delta_bootstraps_from_no_edges(spark, rng):
+    """edges=None (the documented bootstrap case) must treat every existing
+    point's threshold as +inf, not crash (r5 review finding)."""
+    Xa, Xb = rng.normal(size=(30, 6)), rng.normal(size=(8, 6))
+    pts_a = make_points_df(spark, Xa)
+    pts_b = spark.createDataFrame(
+        [(int(i + len(Xa)), [float(x) for x in v]) for i, v in enumerate(Xb)],
+        "id long, vec array<float>",
+    )
+    delta = KNN.incremental_knn_delta(pts_a, None, pts_b, k=4)
+    rebuilt = KNN.knn_edges(pts_a.unionByName(pts_b), k=4)
+    merged = KNN.merge_topk(delta, 4)
+    # with +inf thresholds the delta contains every (existing, new) pair, so
+    # merging it reproduces the full rebuild's rows that touch a new point
+    new_ids = set(range(len(Xa), len(Xa) + len(Xb)))
+    want = {
+        (r["src"], r["dst"]) for r in rebuilt.collect()
+        if r["src"] in new_ids or r["dst"] in new_ids
+    }
+    got = {(r["src"], r["dst"]) for r in merged.collect()}
+    assert want <= got
