@@ -207,6 +207,11 @@ def routing_sweep_pareto(
                     }
                 )
         release_local_checkpoint(sr_all)
+        # the routes relation was checkpointed per grid cell inside
+        # iterate_routing_configs and is not returned — release it too, or a
+        # reference-shaped grid (~10 budgets × 7 nv × 4 policies) pins ~280
+        # small tables in executor storage for the session
+        release_local_checkpoint(cfg["routes"])
     release_local_checkpoint(sharded)
     pdf = pd.DataFrame(rows)
     # global Pareto across ALL configs (reference keeps the non-dominated set)
