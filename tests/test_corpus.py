@@ -81,13 +81,20 @@ def test_metis_io_roundtrip(spark, tmp_path):
     assert got == {i: i % 3 for i in range(12)}
 
     cp = str(tmp_path / "clusters.txt")
-    gio.write_clusters(asn, cp)
+    # positional format: line number IS the shard id, so gapped ids must be
+    # rejected loudly (a silent densify would change ids on read-back) ...
+    import pytest
+    from gp_ann_spark.operators.partition import remap_shard_ids
+
+    with pytest.raises(ValueError, match="dense shard ids"):
+        gio.write_clusters(asn, cp)
+    # ... and a remapped assignment round-trips exactly
+    dense_asn = remap_shard_ids(asn)
+    gio.write_clusters(dense_asn, cp)
     back2 = gio.read_clusters(spark, cp)
     assert back2.count() == 12
-    # same membership structure (shard ids are line numbers)
-    orig_groups = sorted(tuple(sorted(r["m"])) for r in asn.groupBy("shard").agg(F.collect_list("id").alias("m")).collect())
-    new_groups = sorted(tuple(sorted(r["m"])) for r in back2.groupBy("shard").agg(F.collect_list("id").alias("m")).collect())
-    assert orig_groups == new_groups
+    got2 = {r["id"]: r["shard"] for r in back2.collect()}
+    assert got2 == {r["id"]: r["shard"] for r in dense_asn.collect()}
 
 
 def test_metis_graph_write(spark, tmp_path):
