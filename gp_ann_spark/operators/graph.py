@@ -108,7 +108,9 @@ def pagerank(
         .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .cache()
     )
-    e.count()
+    # no separate warm-up count: the dangling probe below is a left_anti
+    # against e's FULL src set, so its one job scans (and caches) every
+    # partition of e anyway
     dangling = verts.join(e.select("src").distinct(), verts.id == F.col("src"), "left_anti").cache()
     has_dangling = dangling.limit(1).count() > 0
 
@@ -252,7 +254,10 @@ def connected_components(
         stepped = (
             labels.join(pushed, labels.id == pushed.dst, "left")
             .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"))
-            .localCheckpoint(eager=True)  # break lineage before the self-join
+            # break lineage before the self-join; NON-eager — the changed
+            # count below is the materializing action (one driver job per
+            # superstep saved; the LogicalRDD breaks ambiguity identically)
+            .localCheckpoint(eager=False)
         )
         ptr = stepped.select(F.col("id").alias("_pid"), F.col("component").alias("_pcomp"))
         new_labels = (

@@ -151,19 +151,20 @@ def _merge_small_buckets(
     no single-partition global window.
     """
     spark = pts.sparkSession
-    sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    # non-eager: the limit(1).count() probe is the materializing action
+    sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     small = sizes.where(F.col("n") < min_size)
     if small.limit(1).count() == 0:
         release_local_checkpoint(sizes)
         return pts
     nparts = max(spark.sparkContext.defaultParallelism, 1)
-    # one materialization so the offsets pass and the cumsum pass see the
-    # same (range-sampled) partition layout
+    # one materialization (at the collect below) so the offsets pass and the
+    # cumsum pass see the same (range-sampled) partition layout
     parted = (
         small.repartitionByRange(nparts, "bucket")
         .sortWithinPartitions("bucket")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per_part = sorted(
         (int(r["_pid"]), int(r["s"]))
@@ -196,7 +197,8 @@ def _force_split_big_buckets(pts: DataFrame, max_cluster_size: int, seed: int) -
     knn_graph.h:120-131: such buckets are (near-)duplicate clusters that
     leader sampling cannot shrink; a seeded hash split bounds the
     brute-force cost at the price of a few split-crossing edges)."""
-    sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    # non-eager: the limit(1).count() probe is the materializing action
+    sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     big = sizes.where(F.col("n") > max_cluster_size)
     if big.limit(1).count() == 0:
         release_local_checkpoint(sizes)
@@ -246,8 +248,9 @@ def build_knn_graph(
         pts = pts0.localCheckpoint(eager=True)
         for depth in range(max_depth):
             # localCheckpoint the (tiny) size table: breaks the self-join
-            # lineage between pts and its own aggregate.
-            sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+            # lineage between pts and its own aggregate. Non-eager — the
+            # count() is the materializing action, one job instead of two.
+            sizes = pts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
             big = sizes.where(F.col("n") > max_cluster_size)
             n_big = big.count()
             if n_big == 0:
@@ -286,9 +289,12 @@ def build_knn_graph(
                 .where(F.col("_r") <= F.col("n_leaders"))
                 .select("bucket", "id", "vec", (F.col("_r") - 1).cast("long").alias("leader_rank"))
                 # leaders derive from big_pts; cogrouping the two without a
-                # lineage break trips the ambiguous-self-join check. Leaders
-                # are ~0.5% of points — cheap to materialize.
-                .localCheckpoint(eager=True)
+                # lineage break trips the ambiguous-self-join check. The
+                # NON-eager checkpoint breaks lineage identically (the plan
+                # becomes a LogicalRDD either way) but defers materialization
+                # to the swap_checkpoint job below — one driver job per
+                # depth instead of two.
+                .localCheckpoint(eager=False)
             )
             # fanout>1 only on the first split (knn_graph.h:133 recurses with
             # fanout=1): duplication is bounded at fanout×n per repetition.

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from gp_ann_spark.functions.windows import bounded_global_window
 
 from gp_ann_spark.operators import kmeans as KM
+from gp_ann_spark.checkpoint import realias as _realias
 from gp_ann_spark.checkpoint import release_local_checkpoint, swap_checkpoint
 from gp_ann_spark.operators.graph import vertices
 
@@ -153,6 +154,15 @@ def _lp_coarsen_level(edges: DataFrame, weights: DataFrame, cap: int, rounds: in
     affinity order — the deterministic relational form of the reference's
     size-constrained moves in overlapping_partitioning.cpp:50-141).
     Returns (id, label).
+
+    The rounds are chained LAZILY and the level materializes ONCE: a round's
+    output feeds the next round as a plain re-aliased plan (realias breaks
+    the ambiguous-self-join exprId collision), so one checkpoint job runs
+    per LEVEL instead of one per round. The round-N subtree appears several
+    times in round N+1's plan (affinity join + label carry + gate), but its
+    exchanges are canonically identical, so Spark executes them once and
+    wires the repeats through ReusedExchange — no recompute at any scale,
+    and nothing intermediate is pinned in executor storage.
     """
     sym = edges.select("src", "dst", "weight").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
@@ -176,18 +186,14 @@ def _lp_coarsen_level(edges: DataFrame, weights: DataFrame, cap: int, rounds: in
         gated = cand.withColumn("_cum", F.sum("w").over(w_cap)).withColumn(
             "label", F.when(F.col("_cum") <= cap, F.col("cand")).otherwise(F.col("label"))
         )
-        # checkpoint every round, INCLUDING the final one: materializing the
-        # level output here (instead of leaving it lazy for the caller to
-        # checkpoint) lets swap_checkpoint release the last intermediate —
-        # a lazily returned final round would pin that internal checkpoint
-        # with no handle for anyone to free, leaking one cached RDD per
-        # coarsening level for the session's lifetime
         nxt = gated.select("id", "label", "w")
         if _ == rounds - 1:
-            final = nxt.select("id", "label").localCheckpoint(eager=True)
-            release_local_checkpoint(labels if _ > 0 else None)
-            return final
-        labels = swap_checkpoint(nxt, labels if _ > 0 else None)
+            # the ONE materialization of the level (the eager checkpoint is
+            # still required: the caller cogroups/joins this output against
+            # frames derived from it, and swap_checkpoint must be able to
+            # release it when the next level lands)
+            return nxt.select("id", "label").localCheckpoint(eager=True)
+        labels = _realias(nxt)
     return labels.select("id", "label")  # rounds == 0: identity labelling
 
 
@@ -201,6 +207,8 @@ def coarsen_graph(
     """
     if weights is None:
         weights = vertices(edges).withColumn("w", F.lit(1).cast("long"))
+    from concurrent.futures import ThreadPoolExecutor
+
     cur_edges = edges.select("src", "dst", F.col("weight").cast("double")).localCheckpoint(eager=True)
     cur_w = weights.localCheckpoint(eager=True)
     n = cur_w.count()
@@ -212,25 +220,37 @@ def coarsen_graph(
         cap = max(int(total_w / max(target // 4, 1)), 2)
         lab = _lp_coarsen_level(cur_edges, cur_w, cap)  # returns its own checkpoint
         # shrinkage count comes FREE from materializing the contracted
-        # weights (row count == distinct labels) — no separate distinct job
+        # weights (row count == distinct labels) — no separate distinct job.
+        # NON-eager checkpoint: the count() below is the materializing
+        # action, so checkpoint + count is one job, not two (cur_w is only
+        # released after, so the truncated lineage never needs recompute)
         new_w = lab.join(cur_w, "id").groupBy(F.col("label").alias("id")).agg(
             F.sum("w").alias("w")
-        ).localCheckpoint(eager=True)
-        n_new = new_w.count()
+        ).localCheckpoint(eager=False)
+        contracted = (
+            cur_edges.join(lab.select(F.col("id").alias("src"), F.col("label").alias("nsrc")), "src")
+            .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("ndst")), "dst")
+            .where(F.col("nsrc") != F.col("ndst"))
+            .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+        )
+        # the shrinkage count and the edge contraction both depend only on
+        # lab (already materialized): run them as concurrent jobs (guide
+        # §2.6) instead of back-to-back. The contraction is checkpointed
+        # WITHOUT releasing cur_edges yet — the no-shrinkage break must
+        # still return the UNcontracted graph.
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(lambda: contracted.localCheckpoint(eager=True))
+            n_new = new_w.count()
+            contracted_cp = fut.result()
         if n_new >= n:  # no shrinkage → stop (guard ≙ knn_graph.h:120-131)
+            release_local_checkpoint(contracted_cp)
             release_local_checkpoint(new_w)
             release_local_checkpoint(lab)
             break
         maps.append(lab)
-        lmap_src = lab.select(F.col("id").alias("src"), F.col("label").alias("nsrc"))
-        lmap_dst = lab.select(F.col("id").alias("dst"), F.col("label").alias("ndst"))
-        cur_edges = swap_checkpoint(
-            cur_edges.join(lmap_src, "src").join(lmap_dst, "dst")
-            .where(F.col("nsrc") != F.col("ndst"))
-            .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
-            .agg(F.sum("weight").alias("weight")),
-            cur_edges,
-        )
+        release_local_checkpoint(cur_edges)
+        cur_edges = contracted_cp
         release_local_checkpoint(cur_w)
         cur_w = new_w
         n = n_new
@@ -431,13 +451,15 @@ def refine_partition(
         room = sizes.select(F.col("shard").alias("cand"), (F.lit(cap) - F.col("cnt")).cast("int").alias("cap"))
         w_cap = Window.partitionBy("cand").orderBy(F.col("gain").desc(), F.col("id").asc())
         # materialize movers ONCE: the count action and the state swap would
-        # otherwise each evaluate the full window program
+        # otherwise each evaluate the full window program. Non-eager: the
+        # count() below is the materializing action — one job per round for
+        # the whole window program instead of two.
         movers = (
             best.join(F.broadcast(room), "cand")
             .withColumn("_fill", F.row_number().over(w_cap))
             .where(F.col("_fill") <= F.greatest(F.col("cap"), F.lit(0)))
             .select("id", F.col("cand").alias("new_shard"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_moved = movers.count()
         if n_moved == 0:
@@ -483,7 +505,11 @@ def graph_partition(
     asn = coarse_asn  # (label, shard) keyed by coarsest vertex ids
     for lab in reversed(maps):
         asn = lab.join(asn, "label").select(F.col("id").alias("label"), "shard")
-    asn = asn.select(F.col("label").alias("id"), "shard")
+    # non-eager checkpoint: the projection chain (one broadcast join per
+    # level) executes ONCE — the count below materializes it, and the
+    # refinement's own eager checkpoint then copies from cache instead of
+    # re-walking the joins
+    asn = asn.select(F.col("label").alias("id"), "shard").localCheckpoint(eager=False)
     if not maps and len(weight_pdf) <= coarse_target:
         # no coarsening was NEEDED (n ≤ coarse_target): the driver pass just
         # partitioned AND boundary-refined the full-resolution graph, so the

@@ -58,7 +58,10 @@ def shard_centroids(points: DataFrame, assignment: DataFrame, vec_col: str = "ve
             cnt = np.bincount(pos, minlength=len(uniq))
             yield pd.DataFrame({"shard": uniq, "cnt": cnt, "sums": list(sums)})
 
-    d = len(joined.select(vec_col).first()[0])
+    # dim probe reads ONE row of the points table — probing `joined` would
+    # execute the points⋈assignment join (a full-input job at scale) just to
+    # read a vector length
+    d = len(points.select(vec_col).first()[0])
     agg = (
         joined.mapInPandas(partial, schema=schema)
         .groupBy("shard")
@@ -81,6 +84,55 @@ MAX_BROADCAST_ROUTING_POINTS = 500_000
 # per-block distance-matrix budget (same 64 MB discipline as
 # ivf_shard._blocked_topn — the in-repo template for scale-safe kernels)
 SCORE_BUDGET_BYTES = 64 << 20
+
+# driver-side bound for the distributed scorer's query collect: the query
+# batch is broadcast, so its float64 payload is held once on the driver and
+# once per executor — chunk it rather than trust "evaluation batches are
+# small" (at 100k queries × d=768 one unchecked toPandas is ~600 MB)
+import os as _os
+
+MAX_QUERY_BLOCK_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_MAX_QUERY_BLOCK_BYTES", str(64 << 20))
+)
+
+
+def _bounded_query_batches(queries: DataFrame, q_id_col: str, q_vec_col: str):
+    """Collect the query side to the driver in bounded blocks.
+
+    Yields ``(qids, Q)`` NumPy blocks whose vector payload stays ≤
+    ``MAX_QUERY_BLOCK_BYTES`` (env ``SPARK_GRAFT_MAX_QUERY_BLOCK_BYTES``).
+    The scoring kernels are per-query independent and both distributed
+    paths finish with a per-query window/aggregation, so running them per
+    block and unioning is bit-identical to one unchunked pass. One block
+    (the common evaluation-batch case) keeps the old single-collect plan;
+    the multi-block path pays one routing-table scan per block — callers
+    with an expensive routing plan should checkpoint it first (they
+    already must for the size probe, see ``score_routing_points``).
+    """
+    q = queries.select(q_id_col, q_vec_col)
+    first = q.select(q_vec_col).first()
+    if first is None or first[0] is None:
+        yield np.zeros(0, dtype=np.int64), np.zeros((0, 1))
+        return
+    d = max(len(first[0]), 1)
+    n = q.count()
+    block_rows = max(1, MAX_QUERY_BLOCK_BYTES // (8 * d))
+    n_blocks = max(1, -(-n // block_rows))
+    if n_blocks == 1:
+        pdf = q.toPandas()
+        yield (
+            pdf[q_id_col].to_numpy().astype(np.int64),
+            np.stack(pdf[q_vec_col].to_numpy()).astype(np.float64),
+        )
+        return
+    for i in range(n_blocks):
+        pdf = q.where(F.pmod(F.xxhash64(F.col(q_id_col)), F.lit(n_blocks)) == i).toPandas()
+        if len(pdf) == 0:
+            continue
+        yield (
+            pdf[q_id_col].to_numpy().astype(np.int64),
+            np.stack(pdf[q_vec_col].to_numpy()).astype(np.float64),
+        )
 
 _PAD_HASH = np.int64((1 << 62))  # sorts after every real xxhash64 tie-key
 
@@ -190,15 +242,23 @@ def _score_block_topnv(
             thresh = kth + margin
             valid = cd_pre <= thresh[:, None]
             # overflow rows: > bcap points inside the margin (mass-duplicate
-            # tables) — exact-rescore those rows against the WHOLE block
+            # tables) — exact-rescore those rows against the WHOLE block,
+            # batched: one (rows × w × d) broadcasted kernel per ≤64 MB row
+            # chunk instead of a Python loop per overflow row (an adversarial
+            # all-duplicates table overflows EVERY row of every block, where
+            # the per-row loop cost nq Python iterations per block)
             if bcap < w:
                 over = np.nonzero((d <= thresh[:, None]).sum(axis=1) > bcap)[0]
-                for r in over:
-                    ex_r = _exact_pair_dists(Q64[qlo + r], V64[vlo : vlo + w], metric)
-                    o_r = np.lexsort((rp_hash[vlo : vlo + w], ex_r))[:nv]
-                    part[r, :nv] = o_r
-                    valid[r] = False
-                    valid[r, :nv] = True
+                if len(over):
+                    Hb = rp_hash[vlo : vlo + w]
+                    ochunk = max(1, budget_bytes // (8 * max(w * dim, 1)))
+                    for olo in range(0, len(over), ochunk):
+                        rows = over[olo : olo + ochunk]
+                        ex = _exact_pair_dists(Q64[qlo + rows, None, :], V64[vlo : vlo + w], metric)
+                        o_sel = np.lexsort((np.broadcast_to(Hb, ex.shape), ex), axis=-1)[:, :nv]
+                        part[rows, :nv] = o_sel
+                    valid[over] = False
+                    valid[over, :nv] = True
             ci = part + vlo
             # canonical distances for every surviving candidate, row-chunked
             # so the (rows × cap × dim) gather also respects the budget
@@ -392,13 +452,30 @@ def _score_routing_points_distributed(
     points distributed. Each routing partition computes its local
     top-``num_voting`` per query (blocked kernel); a window + aggregation
     finishes the global top-k — the standard distributed-top-k shape, sized
-    so no task ever holds more than one 64 MB distance block."""
+    so no task ever holds more than one 64 MB distance block. The query
+    collect is chunked by ``_bounded_query_batches`` (driver AND per-task
+    broadcast memory stay ≤ the block budget; per-query independence makes
+    the per-block union bit-identical)."""
     spark = queries.sparkSession
-    qpdf = queries.select(q_id_col, q_vec_col).toPandas()
-    qids = qpdf[q_id_col].to_numpy().astype(np.int64)
-    Q = np.stack(qpdf[q_vec_col].to_numpy()).astype(np.float64) if len(qpdf) else np.zeros((0, 1))
-    bc = spark.sparkContext.broadcast((qids, Q))
+    rp_df = routing_points.select("shard", "vec").withColumn("_rp", F.xxhash64("shard", "vec"))
     part_schema = f"{q_id_col} long, shard int, dist double, rp long"
+    outs: list[DataFrame] = []
+    for qids, Q in _bounded_query_batches(queries, q_id_col, q_vec_col):
+        outs.append(
+            _score_distributed_block(
+                spark, rp_df, qids, Q, num_voting, metric, q_id_col, dtype, budget_bytes, part_schema
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _score_distributed_block(
+    spark, rp_df, qids, Q, num_voting, metric, q_id_col, dtype, budget_bytes, part_schema
+) -> DataFrame:
+    bc = spark.sparkContext.broadcast((qids, Q))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, Qm = bc.value
@@ -442,11 +519,7 @@ def _score_routing_points_distributed(
             }
         )
 
-    cand = (
-        routing_points.select("shard", "vec")
-        .withColumn("_rp", F.xxhash64("shard", "vec"))
-        .mapInPandas(partial, schema=part_schema)
-    )
+    cand = rp_df.mapInPandas(partial, schema=part_schema)
     w = Window.partitionBy(q_id_col).orderBy(F.col("dist").asc(), F.col("rp").asc())
     return (
         cand.withColumn("_r", F.row_number().over(w))
@@ -476,13 +549,29 @@ def _score_routing_points_distributed_all(
     rows, independent of the routing-table size; per-task state is
     nq × shards_in_partition floats. Output is bit-identical to the
     broadcast path at ``num_voting=None`` (same _exact_pair_dists values,
-    min is order-independent, votes = shard sizes either way)."""
+    min is order-independent, votes = shard sizes either way). The query
+    collect is chunked by ``_bounded_query_batches``; per-block results
+    union bit-identically (disjoint query ids)."""
     spark = queries.sparkSession
-    qpdf = queries.select(q_id_col, q_vec_col).toPandas()
-    qids = qpdf[q_id_col].to_numpy().astype(np.int64)
-    Q = np.stack(qpdf[q_vec_col].to_numpy()).astype(np.float64) if len(qpdf) else np.zeros((0, 1))
-    bc = spark.sparkContext.broadcast((qids, Q))
+    rp_df = routing_points.select("shard", "vec").withColumn("_rp", F.xxhash64("shard", "vec"))
     part_schema = f"{q_id_col} long, shard int, dist double, cnt long"
+    outs: list[DataFrame] = []
+    for qids, Q in _bounded_query_batches(queries, q_id_col, q_vec_col):
+        outs.append(
+            _score_distributed_all_block(
+                spark, rp_df, qids, Q, metric, q_id_col, dtype, budget_bytes, part_schema
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _score_distributed_all_block(
+    spark, rp_df, qids, Q, metric, q_id_col, dtype, budget_bytes, part_schema
+) -> DataFrame:
+    bc = spark.sparkContext.broadcast((qids, Q))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, Qm = bc.value
@@ -514,11 +603,7 @@ def _score_routing_points_distributed_all(
                 {q_id_col: ids, "shard": np.int32(key), "dist": dmin, "cnt": np.int64(cnt)}
             )
 
-    cand = (
-        routing_points.select("shard", "vec")
-        .withColumn("_rp", F.xxhash64("shard", "vec"))
-        .mapInPandas(partial, schema=part_schema)
-    )
+    cand = rp_df.mapInPandas(partial, schema=part_schema)
     return cand.groupBy(q_id_col, "shard").agg(
         F.min("dist").alias("min_dist"), F.sum("cnt").alias("votes")
     )
@@ -639,6 +724,39 @@ def uniform_routing_table(
     )
 
 
+def _shard_hash_sample(joined: DataFrame, sample_per_shard: int, seed: int) -> DataFrame:
+    """The ``sample_per_shard`` hash-smallest points of each shard, with a
+    hash-prefix pre-filter BEFORE the rank window (same template as the
+    depth-0 leader sample, knn_approx.py, and ``uniform_routing_table``): a
+    bare ``Window.partitionBy(shard).orderBy(xxhash64)`` funnels each
+    shard's whole membership through one sort task — at the reference's
+    ~25M-point shards (1B/40, README.md:21) that is one task sorting 25M
+    rows to keep 0.2% of them. Keep only hashes below the
+    ~(4·sample+64)/n_shard quantile of the uniform int64 hash space (a
+    distributed filter), then rank only the survivors. The filter is a
+    prefix of the ranking order, so the selected sample is identical to the
+    unfiltered window whenever ≥ sample rows survive per shard: shards at
+    ≤ 4·sample+64 rows skip the filter entirely, larger shards keep ~4× the
+    needed rows in expectation (Chernoff tail ≪ 1e-9)."""
+    sizes = joined.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
+    p_keep = (4.0 * sample_per_shard + 64.0) / F.col("_n")
+    h_thr = F.least(
+        F.lit(-9.223372036854776e18) + p_keep * F.lit(1.8446744073709552e19),
+        F.lit(9.223372036854e18),
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.xxhash64("id", F.lit(seed)))
+    return (
+        joined.join(F.broadcast(sizes), "shard")
+        .where(
+            (F.col("_n") <= 4 * sample_per_shard + 64)
+            | (F.xxhash64("id", F.lit(seed)) < h_thr)
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= sample_per_shard)
+        .select("shard", "id", "vec")
+    )
+
+
 # ------------------------------------------------------ k-means tree router
 def train_kmeans_tree(
     points: DataFrame,
@@ -662,8 +780,7 @@ def train_kmeans_tree(
     """
     joined = points.join(assignment, "id").select("shard", "id", "vec")
     if sample_per_shard is not None:
-        w = Window.partitionBy("shard").orderBy(F.xxhash64("id", F.lit(seed)))
-        joined = joined.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= sample_per_shard).drop("_r")
+        joined = _shard_hash_sample(joined, sample_per_shard, seed)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])

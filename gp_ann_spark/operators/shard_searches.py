@@ -250,6 +250,29 @@ def _replica_qps(
     return (n_queries / denom if denom > 0 else float("inf")), max_load
 
 
+def _grid_from_frames(
+    hist: dict, work_pdf: pd.DataFrame, k: int, n_queries: int, nprobes_values: Iterable[int]
+) -> pd.DataFrame:
+    """Driver-side (nprobes, recall, qps) grid from the first-hit histogram
+    and the per-(shard, probe_rank) work table — the shared tail of
+    ``recall_qps_grid`` and ``recall_qps_grid_by_ef``."""
+    rows = []
+    for p in nprobes_values:
+        found = sum(n for r, n in hist.items() if r <= p)
+        w = work_pdf[work_pdf["probe_rank"] <= p].groupby("shard")["work"].sum()
+        qps, _ = _replica_qps({int(s): float(v) for s, v in w.items()}, n_queries, 0.0, None, 20)
+        rows.append({"nprobes": p, "recall": found / (n_queries * k), "qps": qps})
+    df = pd.DataFrame(rows)
+    # Pareto: not dominated in (recall, qps)
+    df["pareto"] = [
+        not any((o["recall"] >= r["recall"]) and (o["qps"] > r["qps"]) or
+                (o["recall"] > r["recall"]) and (o["qps"] >= r["qps"])
+                for _, o in df.iterrows())
+        for _, r in df.iterrows()
+    ]
+    return df
+
+
 def recall_qps_grid(
     shard_results: DataFrame,
     gt: DataFrame,
@@ -282,18 +305,41 @@ def recall_qps_grid(
         .agg(F.sum("time_s").alias("work"))
         .toPandas()
     )
-    rows = []
-    for p in nprobes_values:
-        found = sum(n for r, n in hist.items() if r <= p)
-        w = work_pdf[work_pdf["probe_rank"] <= p].groupby("shard")["work"].sum()
-        qps, _ = _replica_qps({int(s): float(v) for s, v in w.items()}, n_queries, 0.0, None, 20)
-        rows.append({"nprobes": p, "recall": found / (n_queries * k), "qps": qps})
-    df = pd.DataFrame(rows)
-    # Pareto: not dominated in (recall, qps)
-    df["pareto"] = [
-        not any((o["recall"] >= r["recall"]) and (o["qps"] > r["qps"]) or
-                (o["recall"] > r["recall"]) and (o["qps"] >= r["qps"])
-                for _, o in df.iterrows())
-        for _, r in df.iterrows()
-    ]
-    return df
+    return _grid_from_frames(hist, work_pdf, k, n_queries, nprobes_values)
+
+
+def recall_qps_grid_by_ef(
+    shard_results: DataFrame,
+    gt: DataFrame,
+    k: int,
+    n_queries: int,
+    nprobes_values: Iterable[int],
+    ef_list: Iterable[int],
+) -> dict[int, pd.DataFrame]:
+    """``recall_qps_grid`` for a WHOLE ef sweep in the same two Spark
+    aggregations (grouped by ef), instead of 2·|ef| jobs over per-ef filters
+    of the sweep table — the per-ef slicing happens driver-side on the tiny
+    aggregate. Row-for-row identical to calling ``recall_qps_grid`` on each
+    ``shard_results.where(ef == e).drop("ef")`` slice (the aggregations are
+    keyed identically, just with ef as an extra group key)."""
+    first_hit = (
+        shard_results.select("ef", "query_id", "probe_rank", F.explode("neighbors").alias("neighbor_id"))
+        .join(gt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("ef", "query_id", "neighbor_id")
+        .agg(F.min("probe_rank").alias("first_rank"))
+        .groupBy("ef", "first_rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    work_all = (
+        shard_results.groupBy("ef", "shard", "probe_rank")
+        .agg(F.sum("time_s").alias("work"))
+        .toPandas()
+    )
+    out: dict[int, pd.DataFrame] = {}
+    for ef in ef_list:
+        fh = first_hit[first_hit["ef"] == ef]
+        hist = dict(zip(fh["first_rank"], fh["n"]))
+        work_pdf = work_all[work_all["ef"] == ef]
+        out[int(ef)] = _grid_from_frames(hist, work_pdf, k, n_queries, nprobes_values)
+    return out

@@ -100,7 +100,7 @@ def iterate_routing_configs(
             min_cluster_size=cfg["min_cluster_size"],
             max_nodes_per_shard=max(1, cfg["budget"] // num_shards),
             seed=seed,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # the count below materializes: 1 job
         n_rp = rp.count()
         for nv in num_voting_list:
             scored = RT.score_routing_points(
@@ -108,13 +108,16 @@ def iterate_routing_configs(
                 # n_rp is already counted off the checkpointed table — no
                 # size-probe job per (config, num_voting) grid cell
                 distributed=n_rp > RT.MAX_BROADCAST_ROUTING_POINTS,
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)  # materialized by the first
+            # routes materialization below; released after the policy loop
             for policy in policies:
                 # checkpoint the (small, nq×shards) routes relation so the
                 # (bigger) scored checkpoint can be released per grid cell —
                 # a full reference-shaped grid (~10 budgets × 7 nv) would
-                # otherwise pin ~80 scored/routing tables for the session
-                routes = RT.probe_order(scored, policy=policy).localCheckpoint(eager=True)
+                # otherwise pin ~80 scored/routing tables for the session.
+                # Non-eager: the first_shard_recall count is the
+                # materializing action — one job per policy, not two.
+                routes = RT.probe_order(scored, policy=policy).localCheckpoint(eager=False)
                 fsr = R.first_shard_recall(gt, cover, routes, k, nq)
                 out.append(
                     {
@@ -129,7 +132,7 @@ def iterate_routing_configs(
                 )
             release_local_checkpoint(scored)
         release_local_checkpoint(rp)
-    rr = random_routes(queries, num_shards, seed).localCheckpoint(eager=True)
+    rr = random_routes(queries, num_shards, seed).localCheckpoint(eager=False)
     out.append(
         {
             "algorithm": "Random",
@@ -179,22 +182,33 @@ def routing_sweep_pareto(
         points, assignment, queries, gt, k, num_shards, budgets, num_voting_list,
         policies=policies, metric=metric, seed=seed,
     )
-    sharded = S.shard_points(points, assignment).localCheckpoint(eager=True)
-    rows = []
-    for cfg in configs:
+    # non-eager: the first sweep aggregation materializes both (sr_all is
+    # read twice per config — first-hit + work — the second read hits cache)
+    sharded = S.shard_points(points, assignment).localCheckpoint(eager=False)
+
+    def eval_config(cfg) -> list[dict]:
+        """Sweep-evaluate ONE route config; configs are independent, so the
+        driver loop runs them on a small thread pool (guide §2.6: Spark
+        schedules concurrent jobs onto shared task slots — one config's
+        aggregation back-fills the executor tail of another's search).
+        Checkpoint lifecycle stays per-thread-sequential: everything this
+        config pinned is released before the thread returns."""
         if in_shard == "ivf":
             sr_all = SS.run_in_shard_searches_sweep(
                 sharded, queries, cfg["routes"], k=k, metric=metric, ef_values=ef_list, seed=seed,
-            ).localCheckpoint(eager=True)
-            sweeps = [(ef, sr_all.where(F.col("ef") == ef).drop("ef")) for ef in ef_list]
+            ).localCheckpoint(eager=False)
+            # one grouped-by-ef pass for the whole ef sweep (2 jobs), not
+            # 2·|ef| jobs over per-ef filters — row-identical grids
+            grids = SS.recall_qps_grid_by_ef(sr_all, gt, k, nq, nprobes_values, ef_list)
+            sweeps = [(ef, grids[int(ef)]) for ef in ef_list]
         else:
             sr_all = SS.run_in_shard_searches(sharded, queries, cfg["routes"], k=k, metric=metric)
-            sr_all = sr_all.localCheckpoint(eager=True)
-            sweeps = [(0, sr_all)]
-        for ef, sr in sweeps:
-            grid = SS.recall_qps_grid(sr, gt, k, nq, nprobes_values)
+            sr_all = sr_all.localCheckpoint(eager=False)
+            sweeps = [(0, SS.recall_qps_grid(sr_all, gt, k, nq, nprobes_values))]
+        out = []
+        for ef, grid in sweeps:
             for _, g in grid.iterrows():
-                rows.append(
+                out.append(
                     {
                         "algorithm": cfg["algorithm"],
                         "budget": cfg["budget"],
@@ -212,6 +226,15 @@ def routing_sweep_pareto(
         # reference-shaped grid (~10 budgets × 7 nv × 4 policies) pins ~280
         # small tables in executor storage for the session
         release_local_checkpoint(cfg["routes"])
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(configs)))) as ex:
+        per_config = list(ex.map(eval_config, configs))
+    # rows in CONFIG ORDER regardless of thread completion order — the
+    # output frame's row order (and so downstream hashes) stays deterministic
+    rows = [r for chunk in per_config for r in chunk]
     release_local_checkpoint(sharded)
     pdf = pd.DataFrame(rows)
     # global Pareto across ALL configs (reference keeps the non-dominated set)

@@ -19,6 +19,19 @@ _ENGINE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Derive the post-shuffle partition count from DATA SIZE, not from the
+    # core count: with parallelismFirst=true (the default) AQE pads tiny
+    # shuffles out to default parallelism, so every superstep/window of an
+    # iterative job schedules N nearly-empty tasks. False makes AQE honor
+    # advisoryPartitionSizeInBytes both ways — KB-sized shuffles collapse to
+    # one task (the latency floor of iterative graph/routing queries at
+    # bench scale), while at 100 TB the same setting yields
+    # input_bytes/64 MB tasks, exactly the scale-adaptive sizing guide §2.2
+    # asks for. Overridable per deployment via extra_conf.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"
+    ),
     # Arrow for every pandas UDF / applyInPandas hop.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -404,3 +404,82 @@ def test_uniform_routing_table_two_phase_matches_naive(spark):
     want = sorted(float(r["id"]) for r in naive.collect())
     assert len(got) == budget
     assert got == want
+
+
+def test_train_kmeans_tree_prefix_sample_matches_window(spark):
+    """The hash-prefix pre-filter + rank-survivors sampler must select
+    EXACTLY the sample_per_shard hash-smallest points per shard —
+    bit-identical to the full-shard window form it replaces — on a fixture
+    where the filter actually bites (shards ≫ 4·sample+64)."""
+    n, s_per = 1200, 5  # 2 shards × 600 rows ≫ 4·5+64
+    pts = spark.range(n).select(
+        "id", F.array(F.col("id").cast("float"), F.lit(0.0).cast("float")).alias("vec")
+    )
+    asn = pts.select("id", (F.col("id") % 2).cast("int").alias("shard"))
+    joined = pts.join(asn, "id").select("shard", "id", "vec")
+    got = sorted(
+        (r["shard"], r["id"]) for r in RT._shard_hash_sample(joined, s_per, RT.SEED).collect()
+    )
+    w = Window.partitionBy("shard").orderBy(F.xxhash64("id", F.lit(RT.SEED)))
+    naive = (
+        joined.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= s_per)
+    )
+    want = sorted((r["shard"], r["id"]) for r in naive.collect())
+    assert len(got) == 2 * s_per
+    assert got == want
+    # the plan must carry the hash-prefix Filter below the rank window — the
+    # whole point is that the window's sort only sees the filtered prefix
+    plan = RT._shard_hash_sample(joined, s_per, RT.SEED)._jdf.queryExecution().executedPlan().toString()
+    assert "OR (xxhash64" in plan.replace("OR  (", "OR (")
+
+
+def test_score_distributed_chunked_queries_bit_identical(spark, score_fixture, monkeypatch):
+    """Bounding MAX_QUERY_BLOCK_BYTES forces the distributed scorer to
+    collect + broadcast the query side in several blocks; per-query
+    independence makes the unioned result bit-identical to the broadcast
+    path, for both the top-nv and the num_voting=None aggregate kernels."""
+    rp, qs, _ = score_fixture
+    monkeypatch.setattr(RT, "MAX_QUERY_BLOCK_BYTES", 512)  # d=8 → 8 rows/block
+    for nv in (25, None):
+        a = sorted(tuple(r) for r in RT.score_routing_points(qs, rp, num_voting=nv).collect())
+        b = sorted(
+            tuple(r)
+            for r in RT.score_routing_points(
+                qs, rp.repartition(7), num_voting=nv, distributed=True
+            ).collect()
+        )
+        assert a == b, nv
+
+
+def test_score_overflow_all_duplicates_vectorized(spark):
+    """Adversarial mass-duplicate routing table: every row is the same
+    vector, so EVERY query row overflows the preselect margin in every
+    block. The (vectorized) overflow rescore must stay canonical — equal to
+    the straight-line (dist, hash) oracle and independent of the block
+    budget."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=8)
+    n = 300
+    sh = rng.integers(0, 5, n)
+    rp = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s in sh], "shard int, vec array<double>"
+    )
+    Q = rng.normal(size=(17, 8))
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(Q)], "query_id long, vec array<double>"
+    )
+    nv = 7
+    got = {(r["query_id"], r["shard"]): (r["min_dist"], r["votes"])
+           for r in RT.score_routing_points(qs, rp, num_voting=nv).collect()}
+    tiny = {(r["query_id"], r["shard"]): (r["min_dist"], r["votes"])
+            for r in RT.score_routing_points(qs, rp, num_voting=nv, budget_bytes=2048).collect()}
+    shards, vecs, H = RT._collect_routing_table(rp)
+    want = {}
+    for i, q in enumerate(Q):
+        d = np.maximum(((vecs - q) ** 2).sum(1), 0.0)
+        for j in np.lexsort((H, d))[:nv]:
+            s = int(shards[j])
+            md, cnt = want.get((i, s), (np.inf, 0))
+            want[(i, s)] = (min(md, d[j]), cnt + 1)
+    assert got == want
+    assert tiny == want
