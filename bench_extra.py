@@ -41,11 +41,16 @@ PLANS_DIR = os.environ.get("PLANS_DIR")
 PLANS_TAG = os.environ.get("PLANS_TAG", "before")
 
 
-def dump_plan(df, name: str) -> None:
+def dump_plan(df, name: str, suffix: str = "") -> None:
+    """Write df.explain('formatted') to plans/. Call BEFORE the action for
+    the initial plan shape (Exchange count, join strategy, pushed filters);
+    call again with suffix='_final' AFTER the action on the same Dataset to
+    capture the AQE-final plan (isFinalPlan=true, AQEShuffleRead coalesced
+    partition counts)."""
     if not PLANS_DIR:
         return
     os.makedirs(PLANS_DIR, exist_ok=True)
-    with open(os.path.join(PLANS_DIR, f"{name}_{PLANS_TAG}.txt"), "w") as f:
+    with open(os.path.join(PLANS_DIR, f"{name}{suffix}_{PLANS_TAG}.txt"), "w") as f:
         f.write(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
 
 
@@ -83,6 +88,7 @@ def main() -> None:
     edges_df = KNN.symmetrize(KNN.knn_edges(points, k=K))
     dump_plan(edges_df, "build_knn_edges_exact")
     edges = timed("exact_edges", lambda: edges_df.localCheckpoint(eager=True))
+    dump_plan(edges_df, "build_knn_edges_exact", "_final")
 
     # 2. approx builder
     timed(
@@ -140,9 +146,12 @@ def main() -> None:
         routes_df = RT.probe_order(scored, policy="min_dist")
         dump_plan(routes_df, "route_recall_curve_routes")
         routes = timed("curve.routes", lambda: routes_df.localCheckpoint(eager=True))
-        curve_df = R.recall_vs_probes(gt, asn, routes, K, nq)
+        dump_plan(routes_df, "route_recall_curve_routes", "_final")
+        curve_df = R.recall_vs_probes(gt, asn, routes, K, nq).orderBy("nprobes")
         dump_plan(curve_df, "route_recall_curve_eval")
-        return timed("curve.eval", lambda: curve_df.orderBy("nprobes").collect())
+        out = timed("curve.eval", lambda: curve_df.collect())
+        dump_plan(curve_df, "route_recall_curve_eval", "_final")
+        return out
 
     curve = timed("route_recall_curve_total", curve_phases)
 
@@ -153,6 +162,7 @@ def main() -> None:
         )
         dump_plan(rp, "sweep_train_kmeans_tree")
         timed("sweep.train_tree_only", lambda: rp.localCheckpoint(eager=True).count())
+        dump_plan(rp, "sweep_train_kmeans_tree", "_final")
         sweep_qs = qs.where(F.col("query_id") < min(200, n_points)).localCheckpoint(eager=True)
         return timed(
             "sweep.full",
@@ -169,9 +179,11 @@ def main() -> None:
     mh_df = DD.minhash_band_pairs(DD.minhash_signatures(docs))
     dump_plan(mh_df, "minhash_lsh_pairs")
     timed("minhash", lambda: mh_df.count())
+    dump_plan(mh_df, "minhash_lsh_pairs", "_final")
     tq_df = TA.quality_features(docs).join(TA.language_id(docs), "doc_id")
     dump_plan(tq_df, "text_quality_lang")
     timed("text", lambda: tq_df.count())
+    dump_plan(tq_df, "text_quality_lang", "_final")
 
     print(
         json.dumps(

@@ -243,9 +243,14 @@ def build_knn_graph(
     ``repetitions`` recursive sketches, merged + deduped to per-src top-k.
     """
     pts0 = points.select("id", "vec").withColumn("bucket", F.lit(0).cast("long"))
+    # ONE shared materialization of the bucket-0 state — the repetitions all
+    # start from the identical frame, so checkpointing it per repetition was
+    # repetitions-1 redundant jobs. The first swap inside a repetition must
+    # NOT release it (other repetitions still read it) — see `prev` below.
+    pts_base = pts0.localCheckpoint(eager=True)
 
     def one_repetition(rep: int) -> DataFrame:
-        pts = pts0.localCheckpoint(eager=True)
+        pts = pts_base
         for depth in range(max_depth):
             # localCheckpoint the (tiny) size table: breaks the self-join
             # lineage between pts and its own aggregate. Non-eager — the
@@ -305,7 +310,7 @@ def build_knn_graph(
             # their ids, split buckets get mixed-hash children — no per-level
             # renumbering pass, no global window, no id overflow.
             merged = done_pts.unionByName(new_pts)
-            pts = swap_checkpoint(merged, pts)
+            pts = swap_checkpoint(merged, pts if pts is not pts_base else None)
             for aux in (sizes, leaders):
                 release_local_checkpoint(aux)
         pts = _force_split_big_buckets(pts, max_cluster_size, seed + rep)

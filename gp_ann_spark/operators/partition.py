@@ -209,10 +209,15 @@ def coarsen_graph(
         weights = vertices(edges).withColumn("w", F.lit(1).cast("long"))
     from concurrent.futures import ThreadPoolExecutor
 
-    cur_edges = edges.select("src", "dst", F.col("weight").cast("double")).localCheckpoint(eager=True)
-    cur_w = weights.localCheckpoint(eager=True)
-    n = cur_w.count()
-    total_w = cur_w.agg(F.sum("w")).collect()[0][0]
+    # non-eager checkpoints + ONE setup aggregate: the count/total_w row
+    # materializes cur_w, and level 1's job materializes cur_edges — three
+    # setup jobs become one (nothing upstream is released before either
+    # materializes)
+    cur_edges = edges.select("src", "dst", F.col("weight").cast("double")).localCheckpoint(eager=False)
+    cur_w = weights.localCheckpoint(eager=False)
+    row = cur_w.agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("tw")).collect()[0]
+    n = int(row["n"])
+    total_w = row["tw"]
     maps: list[DataFrame] = []
     for _ in range(max_levels):
         if n <= target:
@@ -423,10 +428,12 @@ def refine_partition(
     """Balance-constrained LP refinement at full resolution: gain-ordered,
     capacity-gated single-vertex moves per superstep (the DataFrame form of
     multilevel refinement; determinstic via (gain, id) ordering)."""
+    # non-eager: round 1's movers count is the first consumer of both — it
+    # materializes them; nothing upstream is released before that
     sym = edges.select("src", "dst", "weight").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    ).localCheckpoint(eager=True)
-    asn = assignment.select("id", "shard").localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    asn = assignment.select("id", "shard").localCheckpoint(eager=False)
     for _ in range(rounds):
         conn = (
             sym.join(asn.select(F.col("id").alias("dst"), F.col("shard").alias("cand")), "dst")

@@ -82,15 +82,18 @@ def iterate_routing_configs(
     cover: DataFrame | None = None,
     metric: str = "l2",
     seed: int = SEED,
+    n_queries: int | None = None,
 ) -> list[dict]:
     """The config sweep (≙ IterateRoutingConfigs routes.cpp:166-311).
 
     Returns one dict per route config: algorithm/budget/num_voting plus the
     serializable ``routes`` relation and its max-first-shard recall.
+    ``n_queries`` lets a caller that already counted the query batch skip
+    the recount job.
     """
     cover = cover if cover is not None else assignment
     num_shards = num_shards or (assignment.agg(F.max("shard")).collect()[0][0] + 1)
-    nq = queries.count()
+    nq = n_queries if n_queries is not None else queries.count()
     out: list[dict] = []
     for cfg in generate_router_configs(budgets):
         rp = RT.train_kmeans_tree(
@@ -180,11 +183,14 @@ def routing_sweep_pareto(
     nq = queries.count()
     configs = iterate_routing_configs(
         points, assignment, queries, gt, k, num_shards, budgets, num_voting_list,
-        policies=policies, metric=metric, seed=seed,
+        policies=policies, metric=metric, seed=seed, n_queries=nq,
     )
-    # non-eager: the first sweep aggregation materializes both (sr_all is
-    # read twice per config — first-hit + work — the second read hits cache)
-    sharded = S.shard_points(points, assignment).localCheckpoint(eager=False)
+    # EAGER on purpose: the config threads below all read `sharded`
+    # concurrently — a lazy checkpoint would let several threads race to
+    # materialize the full point table at once (duplicated compute); one
+    # up-front job, then every thread hits the cache. (`sr_all` inside each
+    # thread stays non-eager: it is private to that thread.)
+    sharded = S.shard_points(points, assignment).localCheckpoint(eager=True)
 
     def eval_config(cfg) -> list[dict]:
         """Sweep-evaluate ONE route config; configs are independent, so the

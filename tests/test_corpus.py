@@ -1,9 +1,11 @@
 import hashlib
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from gp_ann_spark.corpus import dedup_files, dense_ids, featurize, generate_repos, repos_to_points
+from gp_ann_spark.operators.partition import remap_shard_ids
 
 N = 300
 
@@ -83,9 +85,6 @@ def test_metis_io_roundtrip(spark, tmp_path):
     cp = str(tmp_path / "clusters.txt")
     # positional format: line number IS the shard id, so gapped ids must be
     # rejected loudly (a silent densify would change ids on read-back) ...
-    import pytest
-    from gp_ann_spark.operators.partition import remap_shard_ids
-
     with pytest.raises(ValueError, match="dense shard ids"):
         gio.write_clusters(asn, cp)
     # ... and a remapped assignment round-trips exactly
