@@ -111,9 +111,13 @@ def _bounded_query_batches(queries: DataFrame, q_id_col: str, q_vec_col: str):
     """
     q = queries.select(q_id_col, q_vec_col)
     first = q.select(q_vec_col).first()
-    if first is None or first[0] is None:
+    if first is None:  # empty query set
         yield np.zeros(0, dtype=np.int64), np.zeros((0, 1))
         return
+    if first[0] is None:
+        # loud, like the unchunked np.stack would have been — NOT a silent
+        # empty result for a query set that merely starts with a null vector
+        raise ValueError(f"{q_vec_col} contains NULL vectors; cannot score routing points")
     d = max(len(first[0]), 1)
     n = q.count()
     block_rows = max(1, MAX_QUERY_BLOCK_BYTES // (8 * d))
